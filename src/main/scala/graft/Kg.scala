@@ -1,0 +1,64 @@
+package graft
+
+import graft.pipeline._
+import graft.semantics.NerModel
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.concurrent.TrieMap
+
+/** Builds (and caches per sfDir) the flagship KG job outputs so each
+  * SparkEntry query reuses one tagged/linked build instead of re-running
+  * the pipeline per query (Verify/Bench call queries independently).
+  */
+object Kg {
+
+  final case class Built(
+      nConvs: Long,
+      model: NerModel,
+      out: KgPipeline.KgOutput,
+      labeled: org.apache.spark.sql.Dataset[LabeledRow])
+
+  private val cache = TrieMap.empty[String, Built]
+
+  def built(spark: SparkSession, sfDir: String): Built =
+    cache.getOrElseUpdate(sfDir, build(spark, sfDir))
+
+  private def build(spark: SparkSession, sfDir: String): Built = {
+    val nConvs = Transcripts.convsForSfDir(sfDir)
+    val labeled = Transcripts.generateLabeled(spark, nConvs)
+    val model = NerTraining.trainModel(Transcripts.trainSplit(labeled))
+    val bc = spark.sparkContext.broadcast(model)
+    val turns = Transcripts.generate(spark, nConvs)
+    val out = KgPipeline.run(spark, turns, bc)
+    out.tagged.cache()
+    out.resolvedTriples.cache()
+    Built(nConvs, model, out, labeled)
+  }
+
+  /** Span-level P/R per tag on the held-out split — the Spark twin of the
+    * oracle's evaluation gate (SURVEY.md §2 rows 37–38).
+    */
+  def evalPrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val b = built(spark, sfDir)
+    val isEvalUdf = udf((c: String) => graft.corpus.TranscriptGen.isEval(c.drop(1).toLong))
+    val pred = b.out.mentions
+      .where(isEvalUdf($"conv_id"))
+      .select($"conv_id", $"turn_idx", $"start", $"end", $"tag")
+    val gold = b.labeled
+      .where(isEvalUdf($"conv_id"))
+      .select($"conv_id", $"turn_idx", explode($"gold").as("g"))
+      .select($"conv_id", $"turn_idx", $"g.start", $"g.end", $"g.tag")
+    val joined = pred.withColumn("p", lit(1))
+      .join(gold.withColumn("g", lit(1)),
+        Seq("conv_id", "turn_idx", "start", "end", "tag"), "full_outer")
+    joined.groupBy($"tag").agg(
+      sum(when($"p".isNotNull && $"g".isNotNull, 1).otherwise(0)).as("tp"),
+      sum(when($"p".isNotNull && $"g".isNull, 1).otherwise(0)).as("fp"),
+      sum(when($"p".isNull && $"g".isNotNull, 1).otherwise(0)).as("fn"))
+      .withColumn("precision", round($"tp" / ($"tp" + $"fp"), 6))
+      .withColumn("recall", round($"tp" / ($"tp" + $"fn"), 6))
+      .orderBy($"tag")
+  }
+}

@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+
+import java.nio.charset.StandardCharsets
+
+/** Graph materialization with per-partition lineage manifests and
+  * checkpointed resumability (SURVEY.md §7.5, north rule: "resumable from
+  * checkpoint with per-partition lineage + metrics").
+  *
+  * Locally this is partitioned Parquet behind the same API an Iceberg
+  * `writeTo(...).partitionedBy(bucket(conv_id))` would use at deploy
+  * scale (SURVEY.md §7.4 records the sandbox gap — no Iceberg jars).
+  *
+  * Protocol per conv-bucket partition:
+  *   1. triples for pending buckets are written via
+  *      partitionBy(conv_bucket) (directory-atomic per partition),
+  *   2. a manifest JSON {bucket, rows, fingerprint, config} is written
+  *      AFTER the data via temp-file + rename (the commit point).
+  * Resume = list manifests, anti-join done buckets, process the rest.
+  * The fingerprint is an order-independent sum of xxhash64 over the
+  * partition's logical content, so a resumed run can verify integrity
+  * without re-reading inputs.
+  */
+object GraphSink {
+
+  final case class WriteMetrics(
+      buckets: Int, skippedBuckets: Int, rows: Long, distinctConvs: Long)
+
+  def bucketed(resolvedTriples: DataFrame, nBuckets: Int): DataFrame =
+    resolvedTriples.withColumn("conv_bucket",
+      pmod(xxhash64(col("conv_id")), lit(nBuckets)).cast("int"))
+
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  def doneBuckets(spark: SparkSession, outDir: String): Set[Int] = {
+    val dir = new Path(s"$outDir/_manifests")
+    val f = fs(spark)
+    if (!f.exists(dir)) Set.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case name if name.startsWith("bucket-") && name.endsWith(".json") =>
+        name.stripPrefix("bucket-").stripSuffix(".json").toInt
+      }.toSet
+  }
+
+  /** Write triples for all buckets not yet committed; returns metrics
+    * observed on the actual write pass (`Observation` — executor→driver
+    * metric channel, SURVEY.md §3.3 step 10).
+    */
+  def writeTriples(
+      spark: SparkSession,
+      resolvedTriples: DataFrame,
+      outDir: String,
+      nBuckets: Int = 16,
+      configHash: String = "v1"): WriteMetrics = {
+    val done = doneBuckets(spark, outDir)
+    val all = bucketed(resolvedTriples, nBuckets)
+    val pending = if (done.isEmpty) all else all.where(!col("conv_bucket").isin(done.toSeq: _*))
+
+    val obs = Observation(s"kg_write_${System.identityHashCode(resolvedTriples)}")
+    val observed = pending.observe(obs,
+      count(lit(1)).as("rows"),
+      approx_count_distinct(col("conv_id")).as("convs"))
+
+    observed.write
+      .mode(SaveMode.Append)
+      .partitionBy("conv_bucket")
+      .parquet(s"$outDir/triples")
+
+    val rows = obs.get("rows").asInstanceOf[Long]
+    val convs = obs.get("convs").asInstanceOf[Long]
+
+    // per-bucket manifest: rows + order-independent content fingerprint
+    val perBucket = bucketed(resolvedTriples, nBuckets)
+      .where(if (done.isEmpty) lit(true) else !col("conv_bucket").isin(done.toSeq: _*))
+      .groupBy(col("conv_bucket"))
+      .agg(count(lit(1)).as("rows"),
+        // bit_xor: order-independent content fingerprint, no ANSI overflow
+        expr("bit_xor(xxhash64(conv_id, turn_idx, subj, pred, obj))").as("fingerprint"))
+      .collect()
+
+    val f = fs(spark)
+    f.mkdirs(new Path(s"$outDir/_manifests"))
+    for (r <- perBucket) {
+      val bucket = r.getInt(0)
+      val json =
+        s"""{"bucket":$bucket,"rows":${r.getLong(1)},"fingerprint":${r.getLong(2)},"config":"$configHash"}"""
+      val tmp = new Path(s"$outDir/_manifests/.bucket-$bucket.json.tmp")
+      val dst = new Path(s"$outDir/_manifests/bucket-$bucket.json")
+      val out = f.create(tmp, true)
+      out.write(json.getBytes(StandardCharsets.UTF_8))
+      out.close()
+      f.rename(tmp, dst) // rename-as-commit
+    }
+    WriteMetrics(perBucket.length, done.size, rows, convs)
+  }
+
+  def writeEntities(entities: DataFrame, outDir: String): Unit =
+    entities.write.mode(SaveMode.Overwrite)
+      .partitionBy("entity_type")
+      .parquet(s"$outDir/entities")
+
+  def writeEdges(edges: DataFrame, outDir: String): Unit =
+    edges.write.mode(SaveMode.Overwrite)
+      .partitionBy("pred")
+      .parquet(s"$outDir/edges")
+
+  /** Metrics rollup over the materialized graph: triple counts by
+    * (day, pred) with subtotals (SURVEY.md §2 rows 57–58).
+    */
+  def metricsRollup(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/triples")
+      .withColumn("day", to_date(col("ts")))
+      .rollup(col("day"), col("pred"))
+      .agg(count(lit(1)).as("n_triples"),
+        approx_count_distinct(col("conv_id")).as("approx_convs"))
+}

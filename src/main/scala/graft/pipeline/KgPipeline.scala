@@ -1,0 +1,245 @@
+package graft.pipeline
+
+import graft.corpus.Turn
+import graft.semantics._
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** The flagship KG-construction job (SURVEY.md §3.3, BASELINE.json
+  * north_star): transcripts → stable turn ordering → batched
+  * mapPartitions NER + triple assembly with a broadcast model → mention
+  * explode → blocking-key join + connected components → canonical
+  * entities/edges/triples.
+  *
+  * Shuffle inventory (kept deliberately minimal):
+  *   A: window over (conv_id, turn_idx) — the stable-ordering exchange;
+  *      the tagging mapPartitions runs ON this exchange's output, so
+  *      ordering + co-location cost one shuffle total.
+  *   B: surface dedup groupBy (mentions -> distinct surfaces; tiny output).
+  *   C: block-key self-join for candidate pairs (AQE skew-join enabled;
+  *      block size capped with overflow counting — no silent truncation).
+  *   D1..Dk: connected-components iterations (k ≈ alias-cluster diameter,
+  *      in practice ≤ 4; each iteration localCheckpoints to cut lineage).
+  *   E: salted join applying canonical ids back to mentions (hot
+  *      surfaces salted explicitly; the canonical map is also small
+  *      enough to broadcast at local scale — both paths implemented).
+  */
+object KgPipeline {
+
+  val MAX_BLOCK_SIZE = 1000 // pairs-per-block cap; overflow counted, not silent
+  val CC_MAX_ITERS = 25
+  val LINK_SALT = 8
+
+  // ------------------------------------------------------------ tagging
+
+  /** Stable ordering + cross-turn context (SURVEY.md §2 row 51) then the
+    * single mapPartitions NLP stage (row 28/32; §3.3 step 4).
+    */
+  def tagTurns(turns: Dataset[Turn], model: Broadcast[NerModel]): Dataset[TaggedRow] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"conv_id").orderBy($"turn_idx")
+    val ordered = turns.toDF()
+      .withColumn("turn_ord", row_number().over(w))
+      .as[(String, Int, String, String, String, java.sql.Timestamp, Int)]
+    ordered.mapPartitions { it =>
+      val m = model.value
+      it.map { case (convId, turnIdx, role, text, tool, ts, turnOrd) =>
+        val mentions = NerModel.tag(text, m)
+        val triples = TripleAssembler.assemble(convId, turnIdx, role, text, tool, mentions)
+        TaggedRow(convId, turnIdx, turnOrd, role, tool, ts,
+          mentions.map(MentionRow.of).toSeq, triples.map(TripleRow.of).toSeq)
+      }
+    }
+  }
+
+  /** One row per mention: (conv_id, turn_idx, start, end, value, tag,
+    * conf, norm) — the Generate/explode surface (row 63).
+    */
+  def mentionRows(tagged: Dataset[TaggedRow]): DataFrame = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    val normUdf = udf((s: String) => StringOps.normalizeSurface(s))
+    tagged.select($"conv_id", $"turn_idx", explode($"mentions").as("m"))
+      .select($"conv_id", $"turn_idx", $"m.start", $"m.end", $"m.value", $"m.tag", $"m.conf")
+      .withColumn("norm", normUdf($"value"))
+  }
+
+  def tripleRows(tagged: Dataset[TaggedRow]): DataFrame = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged.select($"conv_id", $"turn_idx", $"ts", explode($"triples").as("t"))
+      .select($"conv_id", $"turn_idx", $"ts", $"t.subj", $"t.pred", $"t.obj", $"t.subj_tag", $"t.obj_tag")
+  }
+
+  // ------------------------------------------------------- entity linking
+
+  /** Distinct surfaces with stable node ids (xxhash64 of type|norm). */
+  def surfaceNodes(mentions: DataFrame): DataFrame =
+    mentions
+      .where(length(col("norm")) > 0 && !col("tag").isin("URL", "DATE", "SMILEY", "TYPE"))
+      .groupBy(col("norm"), col("tag"))
+      .agg(count(lit(1)).as("n_mentions"), min(col("value")).as("surface"))
+      .withColumn("node_id", xxhash64(concat(col("tag"), lit("|"), col("norm"))))
+
+  /** Candidate same-entity pairs via blocking keys (rows 45–47): explode
+    * block keys, self-join on (tag, key), residual `isMatch` theta
+    * predicate. Oversized blocks are dropped WITH a count (returned via
+    * the `block_overflow` accumulator column in the second DF).
+    */
+  def candidateEdges(nodes: DataFrame): (DataFrame, DataFrame) = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val keysUdf = udf((norm: String) => Linker.blockKeys(norm))
+    val keyed = nodes
+      .withColumn("block_key", explode(keysUdf($"norm")))
+      .select($"block_key", $"tag", $"node_id", $"norm")
+    val blockSizes = keyed.groupBy($"block_key", $"tag").agg(count(lit(1)).as("block_n"))
+    val overflow = blockSizes.where($"block_n" > MAX_BLOCK_SIZE)
+    val small = keyed.join(broadcast(overflow.select($"block_key", $"tag")),
+      Seq("block_key", "tag"), "left_anti")
+    val a = small.alias("a")
+    val b = small.alias("b")
+    val isMatchUdf = udf((x: String, y: String) => Linker.isMatch(x, y))
+    val edges = a.join(b,
+        $"a.block_key" === $"b.block_key" && $"a.tag" === $"b.tag" &&
+          $"a.node_id" < $"b.node_id")
+      .where(isMatchUdf($"a.norm", $"b.norm"))
+      .select($"a.node_id".as("src"), $"b.node_id".as("dst"))
+      .distinct()
+    (edges, overflow)
+  }
+
+  /** Iterative DataFrame connected components (min-label propagation,
+    * SURVEY.md §2 row 48 — GraphX is RDD-based, excluded by input_hint).
+    * Returns (node_id, component) where component = min node_id in the
+    * connected component. localCheckpoint() per iteration truncates
+    * lineage; convergence via changed-count.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select($"node_id", $"node_id".as("component")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < CC_MAX_ITERS) {
+      val nbrMin = sym.join(labels, sym("src") === labels("node_id"))
+        .groupBy($"dst").agg(min($"component").as("nbr_component"))
+      val next = labels.join(nbrMin, labels("node_id") === nbrMin("dst"), "left")
+        .select(labels("node_id"),
+          least($"component", coalesce($"nbr_component", $"component")).as("new_component"),
+          $"component")
+      val stepped = next.select($"node_id", $"new_component".as("component"),
+        ($"new_component" =!= $"component").cast("long").as("changed")).localCheckpoint()
+      val changed = stepped.agg(sum($"changed")).as[Long].first()
+      labels = stepped.select($"node_id", $"component")
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Canonicalization: component -> canonical surface (min norm, matching
+    * the oracle) + stable entity_id = xxhash64(tag|canonical_norm).
+    */
+  def canonicalize(nodes: DataFrame, labels: DataFrame): DataFrame = {
+    val withComp = nodes.join(labels, "node_id")
+    val canon = withComp.groupBy(col("component"), col("tag"))
+      .agg(min(col("norm")).as("canonical_norm"))
+      .withColumn("entity_id", xxhash64(concat(col("tag"), lit("|"), col("canonical_norm"))))
+    withComp.select(col("node_id"), col("norm"), col("tag"), col("component"))
+      .join(canon.select(col("component"), col("tag"), col("canonical_norm"), col("entity_id")),
+        Seq("component", "tag"))
+  }
+
+  /** entities table (SURVEY.md D14). */
+  def entitiesTable(nodes: DataFrame, labels: DataFrame): DataFrame =
+    nodes.join(labels, "node_id")
+      .groupBy(col("component"), col("tag"))
+      .agg(min(col("norm")).as("canonical"),
+        sort_array(collect_set(col("surface"))).as("aliases"),
+        sum(col("n_mentions")).as("n_mentions"))
+      .withColumn("entity_id", xxhash64(concat(col("tag"), lit("|"), col("canonical"))))
+      .select(col("entity_id"), col("canonical"), col("tag").as("entity_type"),
+        col("aliases"), col("n_mentions"))
+
+  /** Apply canonical entity ids to triples — the explicitly SALTED join
+    * (north rule: "blocking-key salted joins"; hot entities make `norm`
+    * skewed). The small side is exploded ×LINK_SALT; the large side
+    * computes a deterministic per-row salt. AQE skew-join remains on as
+    * the second line of defense; when the canonical map fits the
+    * broadcast threshold Catalyst will broadcast the exploded side and
+    * the salt collapses to a no-op — correct either way.
+    */
+  def resolveTriples(triples: DataFrame, canonMap: DataFrame): DataFrame = {
+    val canonSalted = canonMap
+      .select(col("norm"), col("tag"), col("entity_id"), col("canonical_norm"))
+      .withColumn("salt", explode(sequence(lit(0), lit(LINK_SALT - 1))))
+    def side(df: DataFrame, surfaceCol: String, tagCol: String, prefix: String): DataFrame = {
+      val normUdf = udf((s: String) => StringOps.normalizeSurface(s))
+      df.withColumn(s"${prefix}_norm", normUdf(col(surfaceCol)))
+        .withColumn(s"${prefix}_salt",
+          pmod(xxhash64(col("conv_id"), col("turn_idx"), col(surfaceCol)), lit(LINK_SALT)).cast("int"))
+    }
+    val withSubj = side(triples, "subj", "subj_tag", "s")
+      .join(canonSalted
+          .withColumnRenamed("norm", "s_norm").withColumnRenamed("tag", "subj_tag")
+          .withColumnRenamed("salt", "s_salt")
+          .withColumnRenamed("entity_id", "subj_id")
+          .withColumnRenamed("canonical_norm", "subj_canonical"),
+        Seq("s_norm", "subj_tag", "s_salt"), "left")
+    val resolved = side(withSubj, "obj", "obj_tag", "o")
+      .join(canonSalted
+          .withColumnRenamed("norm", "o_norm").withColumnRenamed("tag", "obj_tag")
+          .withColumnRenamed("salt", "o_salt")
+          .withColumnRenamed("entity_id", "obj_id")
+          .withColumnRenamed("canonical_norm", "obj_canonical"),
+        Seq("o_norm", "obj_tag", "o_salt"), "left")
+    resolved.select(
+      col("conv_id"), col("turn_idx"), col("ts"),
+      col("subj"), col("pred"), col("obj"),
+      col("subj_tag"), col("obj_tag"),
+      col("subj_id"), col("obj_id"),
+      coalesce(col("subj_canonical"), col("s_norm")).as("subj_canonical"),
+      coalesce(col("obj_canonical"), col("o_norm")).as("obj_canonical"))
+  }
+
+  /** edges table: canonical src/dst with weights (D14). */
+  def edgesTable(resolvedTriples: DataFrame): DataFrame =
+    resolvedTriples
+      .where(col("subj_id").isNotNull && col("obj_id").isNotNull && col("pred") =!= "instance_of")
+      .groupBy(col("subj_id").as("src"), col("obj_id").as("dst"), col("pred"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+
+  // ------------------------------------------------------------ full job
+
+  final case class KgOutput(
+      tagged: Dataset[TaggedRow],
+      mentions: DataFrame,
+      triples: DataFrame,
+      nodes: DataFrame,
+      components: DataFrame,
+      entities: DataFrame,
+      resolvedTriples: DataFrame,
+      edges: DataFrame,
+      blockOverflow: DataFrame)
+
+  def run(spark: SparkSession, turns: Dataset[Turn], model: Broadcast[NerModel]): KgOutput = {
+    val tagged = tagTurns(turns, model)
+    val mentions = mentionRows(tagged)
+    val triples = tripleRows(tagged)
+    val nodes = surfaceNodes(mentions).cache()
+    val (edges0, overflow) = candidateEdges(nodes)
+    val labels = connectedComponents(nodes, edges0)
+    val canonMap = canonicalize(nodes, labels)
+    val entities = entitiesTable(nodes, labels)
+    val resolved = resolveTriples(triples, canonMap)
+    val kgEdges = edgesTable(resolved)
+    KgOutput(tagged, mentions, triples, nodes, labels, entities, resolved, kgEdges, overflow)
+  }
+}

@@ -34,44 +34,60 @@ object NerModel {
 
   final case class TaggedDoc(text: String, mentions: Array[Mention])
 
-  /** Single-threaded training (oracle path). */
-  def train(docs: Seq[TaggedDoc]): NerModel = {
-    val entity = mutable.Map.empty[String, mutable.Map[String, Int]]
-    val token = mutable.Map.empty[String, mutable.Map[String, Int]]
-    val context = mutable.Map.empty[String, mutable.Map[String, Int]]
-    val cases = mutable.Map.empty[String, mutable.Map[String, Int]]
-    def inc(m: mutable.Map[String, mutable.Map[String, Int]], k: String, v: String): Unit = {
-      val inner = m.getOrElseUpdate(k, mutable.Map.empty)
-      inner(v) = inner.getOrElse(v, 0) + 1
+  // dictionary discriminators in the flattened training-event stream
+  val D_ENTITY = "entity"; val D_TOKEN = "token"; val D_CONTEXT = "context"; val D_CASE = "case"
+
+  /** Flatten one tagged document into training events
+    * (dict, key, value). Both training paths — the oracle's in-memory
+    * fold and the Spark groupBy(dict, key, value).count() aggregation —
+    * consume exactly this stream, so the resulting models are identical
+    * by construction (SURVEY.md §5.2).
+    */
+  def events(doc: TaggedDoc): Seq[(String, String, String)] = {
+    val out = mutable.ArrayBuffer.empty[(String, String, String)]
+    val toks = Tokenizer.tokenize(doc.text)
+    val sentStarts = SentenceSplitter.split(doc.text).map(_.start).toSet
+    // case dictionary from mid-sentence tokens only
+    for (t <- toks if !sentStarts.contains(t.start) && t.value.exists(Character.isLetter))
+      out += ((D_CASE, t.value.toLowerCase, StringOps.caseSignature(t.value)))
+    for (m <- doc.mentions) {
+      out += ((D_ENTITY, StringOps.normalizeSurface(m.value), m.tag))
+      for (w <- Tokenizer.words(m.value) if w.exists(Character.isLetter))
+        out += ((D_TOKEN, w.toLowerCase, m.tag))
+      val (l, r) = StringTagger.contexts(doc.text, toks, m, CONTEXT_WINDOW)
+      for (c <- l ++ r if c.exists(Character.isLetter))
+        out += ((D_CONTEXT, c.toLowerCase, m.tag))
     }
-    for (doc <- docs) {
-      val toks = Tokenizer.tokenize(doc.text)
-      val sentences = SentenceSplitter.split(doc.text)
-      val sentStarts = sentences.map(_.start).toSet
-      // case dictionary from mid-sentence tokens only
-      for (t <- toks if !sentStarts.contains(t.start) && t.value.exists(Character.isLetter))
-        inc(cases, t.value.toLowerCase, StringOps.caseSignature(t.value))
-      for (m <- doc.mentions) {
-        inc(entity, StringOps.normalizeSurface(m.value), m.tag)
-        for (w <- Tokenizer.words(m.value) if w.exists(Character.isLetter))
-          inc(token, w.toLowerCase, m.tag)
-        val (l, r) = StringTagger.contexts(doc.text, toks, m, CONTEXT_WINDOW)
-        for (c <- l ++ r if c.exists(Character.isLetter))
-          inc(context, c.toLowerCase, m.tag)
-      }
-    }
-    val mentionTokens = token.keySet
+    out.toSeq
+  }
+
+  /** Assemble a model from aggregated event counts
+    * ((dict, key, value) -> count) — shared by oracle and Spark.
+    */
+  def assemble(counts: Iterable[((String, String, String), Long)]): NerModel = {
+    val dicts = Map(
+      D_ENTITY -> mutable.Map.empty[String, Map[String, Int]],
+      D_TOKEN -> mutable.Map.empty[String, Map[String, Int]],
+      D_CONTEXT -> mutable.Map.empty[String, Map[String, Int]],
+      D_CASE -> mutable.Map.empty[String, Map[String, Int]])
+    for (((d, k, v), n) <- counts; dict <- dicts.get(d))
+      dict(k) = dict.getOrElse(k, Map.empty) + (v -> n.toInt)
+    val token = dicts(D_TOKEN).toMap
+    val cases = dicts(D_CASE).toMap
     val remove = cases.collect {
-      case (w, sigs) if !mentionTokens.contains(w) &&
+      case (w, sigs) if !token.contains(w) &&
         sigs.valuesIterator.sum >= 3 &&
         sigs.filter(_._1.startsWith("a")).valuesIterator.sum.toDouble / sigs.valuesIterator.sum > 0.8 => w
     }.toSet
-    NerModel(
-      entity.map { case (k, v) => k -> v.toMap }.toMap,
-      token.map { case (k, v) => k -> v.toMap }.toMap,
-      context.map { case (k, v) => k -> v.toMap }.toMap,
-      cases.map { case (k, v) => k -> v.toMap }.toMap,
-      remove)
+    NerModel(dicts(D_ENTITY).toMap, token, dicts(D_CONTEXT).toMap, cases, remove)
+  }
+
+  /** Single-threaded training (oracle path). */
+  def train(docs: Seq[TaggedDoc]): NerModel = {
+    val counts = mutable.Map.empty[(String, String, String), Long]
+    for (doc <- docs; e <- events(doc))
+      counts(e) = counts.getOrElse(e, 0L) + 1
+    assemble(counts)
   }
 
   private def votes(dict: Map[String, Map[String, Int]], key: String): Map[String, Double] =
