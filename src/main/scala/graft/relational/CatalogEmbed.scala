@@ -1,0 +1,135 @@
+package graft.relational
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Similarity search over the `embeddings` table (builder prompt:
+  * brute-force cosine top-k baseline + an LSH-bucketed scale path) and
+  * multimodal binary-column plumbing.
+  *
+  * Exact-float cosine is rows-only (float summation has no cross-engine
+  * oracle); the ORACLED variant quantizes to integers (round(x*1000))
+  * where dot products are exact in both engines.
+  */
+object CatalogEmbed {
+
+  private def emb(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
+  private def docs(s: SparkSession, d: String) = s.read.parquet(s"$d/documents.parquet")
+
+  private val quantize = "transform(embedding, x -> round(cast(x as double) * 1000))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ORACLED: top-5 neighbors per probe by integer-quantized dot product
+    "e_knn_quantized" -> ((s, d) => {
+      val q = emb(s, d).select(col("vec_id"), expr(quantize).as("q"))
+      val probes = q.where(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+      val scored = probes.join(q.where(col("vec_id") >= 5))
+        .withColumn("dot", expr("aggregate(zip_with(pq, q, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("probe_id")).orderBy(col("dot").desc, col("vec_id"))))
+        .where(col("rk") <= 5)
+        .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("dot"))
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
+    // exact double cosine top-3 (the real ANN baseline; rows-only)
+    "e_knn_cosine" -> ((s, d) => {
+      val v = emb(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      val probes = v.where(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+      probes.join(v.where(col("vec_id") >= 5))
+        .withColumn("cos", round(
+          expr("aggregate(zip_with(pv, v, (x, y) -> x * y), 0D, (a, z) -> a + z)") /
+            (col("pn") * col("nrm")), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rk") <= 3)
+        .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
+    // LSH-bucketed ANN scale path: sign-bit bucket over 8 pseudo-random
+    // hyperplanes (deterministic ±1 weights from xxhash64), then top-k
+    // within bucket only — the shuffle-bounded variant (rows-only)
+    "e_ann_lsh" -> ((s, d) => {
+      val v = emb(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val planes = "transform(sequence(0, 7), p -> " +
+        "aggregate(zip_with(v, sequence(0, size(v) - 1), (x, i) -> " +
+        "CASE WHEN pmod(xxhash64(i, p), 2) = 0 THEN x ELSE -x END), 0D, (a, z) -> a + z))"
+      val bucketed = v.withColumn("bucket",
+        expr(s"aggregate(zip_with($planes, sequence(0, 7), (s, p) -> " +
+          "CASE WHEN s > 0 THEN shiftleft(1L, p) ELSE 0L END), 0L, (a, z) -> a + z)"))
+      val a = bucketed.select(col("bucket"), col("vec_id").as("probe_id"), col("v").as("pv"))
+        .where(col("probe_id") < 20)
+      a.join(bucketed.where(col("vec_id") >= 20), Seq("bucket"))
+        .withColumn("dot", round(expr("aggregate(zip_with(pv, v, (x, y) -> x * y), 0D, (a, z) -> a + z)"), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("probe_id")).orderBy(col("dot").desc, col("vec_id"))))
+        .where(col("rk") <= 3)
+        .select(col("probe_id"), col("bucket"), col("rk"), col("vec_id").as("neighbor_id"), col("dot"))
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
+    // ORACLED: embedding label centroids on quantized components
+    "e_label_centroids" -> ((s, d) => emb(s, d)
+      .select(col("label"), posexplode(expr(quantize)).as(Seq("dim", "qv")))
+      .where(col("dim") < 8)
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("qv")), 4).as("centroid"), count(lit(1)).as("n"))
+      .orderBy(col("label"), col("dim"))),
+
+    // multimodal stub (builder prompt): opaque binary payload + typed
+    // metadata; "decode" is a deterministic fake feature extractor run as
+    // a batched mapPartitions (the real Spark plumbing: schema, batching,
+    // partitioning), since no image/audio libs exist in this sandbox.
+    "m_multimodal_stub" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val payloads = docs(s, d).where(col("doc_id") < 100)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+          struct(lit("text/fake-image").as("mime"), col("n_chars").as("size")).as("meta"))
+      val decoded = payloads
+        .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
+        .as[(Long, Array[Byte], String)]
+        .mapPartitions { it =>
+          // STUB decoder: real systems would decode image bytes here; the
+          // batch shape, schema and partitioning are the real thing.
+          it.map { case (id, bytes, mime) =>
+            val fakeW = 16 + (math.abs(bytes.length * 2654435761L) % 1024).toInt
+            val fakeH = 16 + (math.abs(bytes.foldLeft(17L)((a, b) => a * 31 + b)) % 768).toInt
+            (id, mime, bytes.length, fakeW, fakeH)
+          }
+        }
+        .toDF("doc_id", "mime", "n_bytes", "fake_width", "fake_height")
+      decoded.orderBy(col("doc_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "e_knn_quantized" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(p.qv, c.qv) AS dot
+        |  FROM q p JOIN q c ON p.vec_id < 5 AND c.vec_id >= 5),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id, dot,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT probe_id, rk, neighbor_id, dot FROM ranked WHERE rk <= 5
+        |ORDER BY probe_id, rk""".stripMargin,
+    "e_label_centroids" ->
+      """SELECT label, dim, round(avg(qv), 4) AS centroid, count(*) AS n FROM (
+        |  SELECT label, i - 1 AS dim, round(CAST(embedding[i] AS DOUBLE) * 1000) AS qv
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))
+        |WHERE dim < 8 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}
