@@ -25,15 +25,43 @@ object Kg {
     cache.getOrElseUpdate(sfDir, build(spark, sfDir))
 
   private def build(spark: SparkSession, sfDir: String): Built = {
+    import spark.implicits._
     val nConvs = Transcripts.convsForSfDir(sfDir)
-    val labeled = Transcripts.generateLabeled(spark, nConvs)
+    val labeled = Transcripts.generateLabeled(spark, nConvs).cache()
     val model = NerTraining.trainModel(Transcripts.trainSplit(labeled))
     val bc = spark.sparkContext.broadcast(model)
-    val turns = Transcripts.generate(spark, nConvs)
+    // derive turns from the cached labeled set: one generation pass total
+    val turns = labeled.map(r =>
+      graft.corpus.Turn(r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts))
     val out = KgPipeline.run(spark, turns, bc)
-    out.tagged.cache()
     out.resolvedTriples.cache()
     Built(nConvs, model, out, labeled)
+  }
+
+  private val roleCache = TrieMap.empty[String, DataFrame]
+
+  /** Role classification (dictionary classifier train+score) with results
+    * cached per sfDir (SURVEY.md §2 rows 34–35 pipeline twin).
+    */
+  def roleScored(spark: SparkSession, sfDir: String): DataFrame =
+    roleCache.getOrElseUpdate(sfDir, {
+      val b = built(spark, sfDir)
+      val turns = pipeline.Transcripts.generate(spark, b.nConvs)
+      val model = pipeline.ClassifyStage.train(turns)
+      pipeline.ClassifyStage.score(turns, model, graft.semantics.BayesScorer).cache()
+    })
+
+  /** NER error classes on the eval split (SURVEY.md §2 row 38). */
+  def nerErrors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val b = built(spark, sfDir)
+    val isEvalUdf = udf((c: String) => graft.corpus.TranscriptGen.isEval(c.drop(1).toLong))
+    val pred = b.out.mentions.where(isEvalUdf($"conv_id"))
+      .select($"conv_id", $"turn_idx", $"start", $"end", $"tag")
+    val gold = b.labeled.where(isEvalUdf($"conv_id"))
+      .select($"conv_id", $"turn_idx", explode($"gold").as("g"))
+      .select($"conv_id", $"turn_idx", $"g.start", $"g.end", $"g.tag")
+    pipeline.NerEval.errorClasses(spark, pred, gold)
   }
 
   /** Span-level P/R per tag on the held-out split — the Spark twin of the

@@ -41,6 +41,14 @@ object SparkEntry {
     "kg_resolved_triples" -> ((s, d) => Kg.built(s, d).out.resolvedTriples),
     "kg_edges" -> ((s, d) => Kg.built(s, d).out.edges),
     "kg_block_overflow" -> ((s, d) => Kg.built(s, d).out.blockOverflow),
-    "kg_eval_prf" -> ((s, d) => Kg.evalPrf(s, d))
+    "kg_eval_prf" -> ((s, d) => Kg.evalPrf(s, d)),
+    "kg_ner_errors" -> ((s, d) => Kg.nerErrors(s, d)),
+    "kg_role_confusion" -> ((s, d) =>
+      graft.pipeline.ClassifyStage.confusion(Kg.roleScored(s, d))),
+    "kg_role_accuracy" -> ((s, d) =>
+      graft.pipeline.ClassifyStage.accuracy(Kg.roleScored(s, d))),
+    "kg_gazetteer_disambig" -> ((s, d) =>
+      graft.pipeline.Gazetteer.disambiguate(
+        Kg.built(s, d).out.mentions, graft.pipeline.Gazetteer.aliasTable(s)))
   )
 }

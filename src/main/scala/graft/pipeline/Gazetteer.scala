@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import graft.corpus.TranscriptGen
+import graft.semantics.{Linker, Similarity, StringOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Gazetteer lookup + heuristic disambiguation (SURVEY.md §2 rows 11/33/
+  * 44/46): a knowledge-base alias table is broadcast-joined to mentions
+  * on a cheap blocking key, candidates are scored with column arithmetic
+  * (string similarity + type agreement + popularity prior), and the
+  * per-mention argmax is taken with one window (max_by shape).
+  */
+object Gazetteer {
+
+  /** alias table: (alias, alias_norm, block_key, entity_id, entity_type,
+    * popularity). Built from the synthetic KB; at deploy scale this is a
+    * dimension table scan.
+    */
+  def aliasTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      e <- TranscriptGen.entities
+      surface <- e.surfaces
+      norm = StringOps.normalizeSurface(surface)
+      key <- Linker.blockKeys(norm).headOption // first-token stem key
+    } yield (surface, norm, key, e.id, e.tp, 1.0 / (1 + e.id % 7))
+    rows.toDF("alias", "alias_norm", "block_key", "entity_id", "entity_type", "popularity")
+  }
+
+  /** Candidate generation (broadcast equi-join on block key) + residual
+    * fuzzy predicate + scored disambiguation.
+    */
+  def disambiguate(mentions: DataFrame, gazetteer: DataFrame): DataFrame = {
+    val spark = mentions.sparkSession
+    val simUdf = udf((a: String, b: String) => Similarity.ngramSim(a, b))
+    val keyUdf = udf((norm: String) => Linker.blockKeys(norm).headOption.orNull)
+    val cands = mentions
+      .withColumn("block_key", keyUdf(col("norm")))
+      .join(broadcast(gazetteer), Seq("block_key"), "inner")
+      .withColumn("sim", simUdf(col("norm"), col("alias_norm")))
+      .where(col("sim") >= 0.3) // residual theta predicate after equi-join
+      .withColumn("score",
+        round(col("sim") * 0.6 +
+          when(col("tag") === col("entity_type"), 0.3).otherwise(0.0) +
+          col("popularity") * 0.1, 6))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("conv_id"), col("turn_idx"), col("start"))
+      .orderBy(col("score").desc, col("entity_id"))
+    cands.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("conv_id"), col("turn_idx"), col("start"), col("end"),
+        col("value"), col("tag"), col("entity_id"), col("alias"), col("score"))
+  }
+}

@@ -76,12 +76,20 @@ object KgPipeline {
 
   // ------------------------------------------------------- entity linking
 
-  /** Distinct surfaces with stable node ids (xxhash64 of type|norm). */
+  /** Distinct surfaces with stable node ids (xxhash64 of type|norm).
+    * Two-stage aggregation: the BIG pass over the mention stream groups
+    * by (norm, tag, value) with a pure count — a codegen'd HashAggregate
+    * (a min(STRING)/min_by in that pass would demote it to
+    * SortAggregate, sorting the whole mention stream per partition).
+    * The second agg runs on distinct surfaces only (tiny at any scale).
+    */
   def surfaceNodes(mentions: DataFrame): DataFrame =
     mentions
       .where(length(col("norm")) > 0 && !col("tag").isin("URL", "DATE", "SMILEY", "TYPE"))
+      .groupBy(col("norm"), col("tag"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
       .groupBy(col("norm"), col("tag"))
-      .agg(count(lit(1)).as("n_mentions"), min(col("value")).as("surface"))
+      .agg(sum(col("cnt")).as("n_mentions"), min(col("value")).as("surface"))
       .withColumn("node_id", xxhash64(concat(col("tag"), lit("|"), col("norm"))))
 
   /** Candidate same-entity pairs via blocking keys (rows 45–47): explode
@@ -112,13 +120,51 @@ object KgPipeline {
     (edges, overflow)
   }
 
+  /** Scale-adaptive connected components: below `CC_LOCAL_THRESHOLD`
+    * distinct surfaces, union-find on the driver (one collect of an
+    * already-tiny node set — the alias graph is orders of magnitude
+    * smaller than the corpus, and the fixed cost of k join iterations
+    * dominates small inputs); above it, the iterative DataFrame
+    * min-label propagation loop. Both produce identical labels (gated by
+    * SparkParitySpec against the oracle for both paths).
+    */
+  val CC_LOCAL_THRESHOLD = 200000L
+
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val n = nodes.count()
+    if (n <= CC_LOCAL_THRESHOLD) connectedComponentsLocal(nodes, edges)
+    else connectedComponentsLoop(nodes, edges)
+  }
+
+  /** Driver-side union-find over the (small) collected node/edge sets. */
+  def connectedComponentsLocal(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val ids = nodes.select(col("node_id")).as[Long].collect().sorted
+    val idx = ids.zipWithIndex.toMap
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x: Int): Int = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    for ((s, d) <- edges.select(col("src"), col("dst")).as[(Long, Long)].collect()) {
+      val (rs, rd) = (find(idx(s)), find(idx(d)))
+      if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
+    }
+    // component label = min node_id in the component (ids sorted -> root
+    // index is the min-id member, matching the loop's least-label result)
+    val rows = ids.indices.map(i => (ids(i), ids(find(i))))
+    spark.createDataset(rows).toDF("node_id", "component")
+  }
+
   /** Iterative DataFrame connected components (min-label propagation,
     * SURVEY.md §2 row 48 — GraphX is RDD-based, excluded by input_hint).
     * Returns (node_id, component) where component = min node_id in the
     * connected component. localCheckpoint() per iteration truncates
     * lineage; convergence via changed-count.
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  def connectedComponentsLoop(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val sym = edges.select($"src", $"dst")
@@ -168,15 +214,50 @@ object KgPipeline {
       .select(col("entity_id"), col("canonical"), col("tag").as("entity_type"),
         col("aliases"), col("n_mentions"))
 
-  /** Apply canonical entity ids to triples — the explicitly SALTED join
-    * (north rule: "blocking-key salted joins"; hot entities make `norm`
-    * skewed). The small side is exploded ×LINK_SALT; the large side
-    * computes a deterministic per-row salt. AQE skew-join remains on as
-    * the second line of defense; when the canonical map fits the
-    * broadcast threshold Catalyst will broadcast the exploded side and
-    * the salt collapses to a no-op — correct either way.
+  /** Apply canonical entity ids to triples. Scale-adaptive join choice:
+    * a canonical map that fits in memory is BROADCAST (no shuffle of the
+    * huge triple stream, hot keys irrelevant); a huge map falls back to
+    * the explicitly SALTED shuffle join (north rule: hot entities make
+    * `norm` skewed — the salt spreads each hot key over LINK_SALT
+    * partitions; AQE skew-join stays on as the second line of defense).
+    * Both paths are proven equal in SparkParitySpec.
     */
-  def resolveTriples(triples: DataFrame, canonMap: DataFrame): DataFrame = {
+  val BROADCAST_MAP_THRESHOLD = 2000000L
+
+  def resolveTriples(triples: DataFrame, canonMap: DataFrame): DataFrame =
+    if (canonMap.count() <= BROADCAST_MAP_THRESHOLD)
+      resolveTriplesBroadcast(triples, canonMap)
+    else resolveTriplesSalted(triples, canonMap)
+
+  /** Broadcast path: one narrow stage over the triple stream. */
+  def resolveTriplesBroadcast(triples: DataFrame, canonMap: DataFrame): DataFrame = {
+    val normUdf = udf((s: String) => StringOps.normalizeSurface(s))
+    val cm = canonMap.select(col("norm"), col("tag"), col("entity_id"), col("canonical_norm"))
+    val withSubj = triples
+      .withColumn("s_norm", normUdf(col("subj")))
+      .join(broadcast(cm
+          .withColumnRenamed("norm", "s_norm").withColumnRenamed("tag", "subj_tag")
+          .withColumnRenamed("entity_id", "subj_id")
+          .withColumnRenamed("canonical_norm", "subj_canonical")),
+        Seq("s_norm", "subj_tag"), "left")
+    withSubj
+      .withColumn("o_norm", normUdf(col("obj")))
+      .join(broadcast(cm
+          .withColumnRenamed("norm", "o_norm").withColumnRenamed("tag", "obj_tag")
+          .withColumnRenamed("entity_id", "obj_id")
+          .withColumnRenamed("canonical_norm", "obj_canonical")),
+        Seq("o_norm", "obj_tag"), "left")
+      .select(
+        col("conv_id"), col("turn_idx"), col("ts"),
+        col("subj"), col("pred"), col("obj"),
+        col("subj_tag"), col("obj_tag"),
+        col("subj_id"), col("obj_id"),
+        coalesce(col("subj_canonical"), col("s_norm")).as("subj_canonical"),
+        coalesce(col("obj_canonical"), col("o_norm")).as("obj_canonical"))
+  }
+
+  /** Salted shuffle path for canonical maps too large to broadcast. */
+  def resolveTriplesSalted(triples: DataFrame, canonMap: DataFrame): DataFrame = {
     val canonSalted = canonMap
       .select(col("norm"), col("tag"), col("entity_id"), col("canonical_norm"))
       .withColumn("salt", explode(sequence(lit(0), lit(LINK_SALT - 1))))
@@ -229,8 +310,13 @@ object KgPipeline {
       edges: DataFrame,
       blockOverflow: DataFrame)
 
-  def run(spark: SparkSession, turns: Dataset[Turn], model: Broadcast[NerModel]): KgOutput = {
-    val tagged = tagTurns(turns, model)
+  def run(spark: SparkSession, turns: Dataset[Turn], model: Broadcast[NerModel]): KgOutput =
+    // cache the NLP stage output BEFORE any downstream action: the
+    // adaptive CC/resolve decisions call count(), which would otherwise
+    // re-run generation + tagging once per action
+    runTagged(spark, tagTurns(turns, model).cache())
+
+  def runTagged(spark: SparkSession, tagged: Dataset[TaggedRow]): KgOutput = {
     val mentions = mentionRows(tagged)
     val triples = tripleRows(tagged)
     val nodes = surfaceNodes(mentions).cache()

@@ -53,24 +53,23 @@ object CatalogText {
     }),
 
     // MinHash + LSH banding (16 hashes, 4 bands × 4 rows) — candidate
-    // near-dup pairs via bucket join; rows-only (xxhash64 has no DuckDB twin)
+    // near-dup pairs via bucket join; rows-only (xxhash64 has no DuckDB
+    // twin). Plan shape: ONE hash aggregation computes all 16 signature
+    // mins as separate agg functions (no 16× posexplode row blowup),
+    // then stack() unpivots the 4 band buckets — one shuffle over docs.
     "t_minhash_lsh" -> ((s, d) => {
       val sh = docs(s, d)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(split(text, ' ')) - 3), " +
             "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))")).as("shingle"))
-        .distinct()
-      // 16 hash functions = xxhash64(shingle, seed i); minhash per doc
-      val sigs = sh.select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, 15), i -> xxhash64(shingle, i))")).as(Seq("h_idx", "h")))
-        .groupBy(col("doc_id"), col("h_idx"))
-        .agg(min(col("h")).as("minhash"))
-      // band = h_idx / 4; bucket = xxhash64 over the band's 4 minhashes
-      val bands = sigs
-        .withColumn("band", (col("h_idx") / 4).cast("int"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(sort_array(collect_list(struct(col("h_idx"), col("minhash")))).as("sig"))
-        .withColumn("bucket", xxhash64(col("band"), to_json(col("sig"))))
+      val aggCols = (0 until 16).map(i => min(expr(s"xxhash64(shingle, $i)")).as(s"h$i"))
+      val sigs = sh.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+      val bandExprs = (0 until 4).map { b =>
+        val hs = (0 until 4).map(j => s"h${b * 4 + j}").mkString(", ")
+        s"$b, xxhash64(CAST($b AS BIGINT), $hs)"
+      }.mkString(", ")
+      val bands = sigs.select(col("doc_id"),
+        expr(s"stack(4, $bandExprs) AS (band, bucket)"))
       bands.as("a").join(bands.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.band") === col("b.band") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -79,23 +78,21 @@ object CatalogText {
         .orderBy(col("da"), col("db"))
     }),
 
-    // SimHash (64-bit, token-hash bit voting) + near pairs by hamming<=8;
-    // rows-only
+    // SimHash (64-bit, token-hash bit voting): all 64 bit-vote sums in a
+    // single hash aggregation (no 64× explode); rows-only
     "t_simhash" -> ((s, d) => {
       val tok = docs(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .where(col("tok") =!= "")
         .withColumn("h", xxhash64(col("tok")))
-      val bits = tok.select(col("doc_id"), col("h"),
-          posexplode(expr("transform(sequence(0, 63), b -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)"))
-            .as(Seq("bit", "vote")))
-        .groupBy(col("doc_id"), col("bit"))
-        .agg(sum(col("vote")).as("v"))
-        .withColumn("bitval", when(col("v") > 0, 1L).otherwise(0L))
-      val sim = bits
-        .groupBy(col("doc_id"))
-        .agg(sum(expr("bitval << bit")).as("simhash"))
-      sim.select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
+      val voteCols = (0 until 64).map(b =>
+        sum(expr(s"CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"v$b"))
+      val assemble = (0 until 64)
+        .map(b => s"(CASE WHEN v$b > 0 THEN shiftleft(1L, $b) ELSE 0L END)")
+        .mkString(" + ")
+      tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+        .select(col("doc_id"), expr(assemble).as("simhash"))
+        .orderBy(col("doc_id"))
     }),
 
     // ------------------------------------------------ text analysis family
@@ -191,7 +188,30 @@ object CatalogText {
     "t_fold_split" -> ((s, d) => docs(s, d)
       .withColumn("fold", pmod(col("doc_id"), lit(5)).cast("int"))
       .groupBy(col("fold")).agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
-      .orderBy(col("fold")))
+      .orderBy(col("fold"))),
+
+    // χ² feature ranking (row 40): doc-presence contingency vs source
+    "t_chi2_terms" -> ((s, d) => {
+      val n = docs(s, d).count().toDouble
+      val dt = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(expr("filter(split(text, ' '), x -> x <> '')"))).as("term"))
+      val obs = dt.groupBy(col("term"), col("source")).agg(count(lit(1)).as("o"))
+      val termTot = obs.groupBy(col("term")).agg(sum(col("o")).as("tt"))
+      val catTot = docs(s, d).groupBy(col("source")).agg(count(lit(1)).as("ct"))
+      obs.join(termTot, "term").join(catTot, "source")
+        .withColumn("e", col("tt") * col("ct") / lit(n))
+        .withColumn("contrib", (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+        .groupBy(col("term"))
+        .agg(round(sum(col("contrib")), 4).as("chi2"))
+        .orderBy(col("term"))
+    }),
+
+    // ZeroR baseline (row 41): global majority class
+    "t_zeror" -> ((s, d) => docs(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("source"))
+      .limit(1))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -265,6 +285,21 @@ object CatalogText {
          |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
     "t_fold_split" ->
       """SELECT CAST(doc_id % 5 AS INT) AS fold, count(*) AS n, sum(n_chars) AS chars
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_chi2_terms" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |obs AS (SELECT term, source, count(*) AS o FROM dt GROUP BY 1, 2),
+        |tt AS (SELECT term, sum(o) AS tt FROM obs GROUP BY 1),
+        |ct AS (SELECT source, count(*) AS ct FROM documents GROUP BY 1),
+        |n AS (SELECT count(*) * 1.0 AS n FROM documents)
+        |SELECT term, round(sum((o - e) * (o - e) / e), 4) AS chi2 FROM (
+        |  SELECT obs.term, obs.o, tt.tt * ct.ct / n.n AS e
+        |  FROM obs JOIN tt ON obs.term = tt.term JOIN ct ON obs.source = ct.source, n)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_zeror" ->
+      """SELECT source, count(*) AS n FROM documents GROUP BY 1
+        |ORDER BY n DESC, source LIMIT 1""".stripMargin
   )
 }

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.corpus.Turn
+import graft.pipeline.{MentionRow, TaggedRow, TripleRow}
+import graft.semantics.{NerModel, TripleAssembler}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Incremental/streaming ingestion (SURVEY.md §2 row 60, optional M7):
+  * transcript drops land as parquet files; a Structured Streaming query
+  * tags them incrementally with the same broadcast NER model, dedupes
+  * re-delivered turns inside the watermark, and maintains per-
+  * conversation state (max turn index, mention count) via
+  * flatMapGroupsWithState. The reference's only streaming analogue is
+  * adaptive feed polling; this is its Spark-native re-expression.
+  */
+object StreamingIngest {
+
+  final case class ConvState(maxTurn: Int, nMentions: Long)
+  final case class ConvUpdate(conv_id: String, max_turn: Int, n_mentions: Long)
+
+  /** File-source stream of turns. */
+  def readTurns(spark: SparkSession, inputDir: String): Dataset[Turn] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(spark.createDataset(Seq.empty[Turn]).schema)
+      .parquet(inputDir)
+      .as[Turn]
+  }
+
+  /** Streaming twin of KgPipeline.tagTurns: watermark + in-watermark
+    * dedupe of re-delivered (conv_id, turn_idx), then the same
+    * mapPartitions tagging stage.
+    */
+  def tagStream(turns: Dataset[Turn], model: Broadcast[NerModel]): Dataset[TaggedRow] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+      .mapPartitions { it =>
+        val m = model.value
+        it.map { t =>
+          val mentions = NerModel.tag(t.text, m)
+          val triples = TripleAssembler.assemble(t.conv_id, t.turn_idx, t.role, t.text, t.tool, mentions)
+          TaggedRow(t.conv_id, t.turn_idx, 0, t.role, t.tool, t.ts,
+            mentions.map(MentionRow.of).toSeq, triples.map(TripleRow.of).toSeq)
+        }
+      }
+  }
+
+  /** Tumbling windowed mention counts (watermarked aggregation). Takes
+    * raw turns and tags inline: a typed mapPartitions drops event-time
+    * watermark tracking from its output columns, so the watermark must be
+    * defined AFTER tagging (and chaining it behind the dedup stream would
+    * be watermark redefinition, disallowed in Spark 4).
+    */
+  def windowedCounts(turns: Dataset[Turn], model: Broadcast[NerModel]): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.mapPartitions { it =>
+        val m = model.value
+        it.flatMap(t => NerModel.tag(t.text, m).map(x => (t.ts, x.tag)))
+      }
+      .toDF("ts", "tag")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "10 minutes"), $"tag")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Conversation assembly across micro-batches: custom state per conv
+    * (flatMapGroupsWithState) emitting running (max_turn, n_mentions).
+    */
+  def conversationState(tagged: Dataset[TaggedRow]): Dataset[ConvUpdate] = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (convId: String, rows: Iterator[TaggedRow], state: GroupState[ConvState]) => {
+          val prev = state.getOption.getOrElse(ConvState(-1, 0L))
+          var maxTurn = prev.maxTurn
+          var nMentions = prev.nMentions
+          rows.foreach { r =>
+            if (r.turn_idx > maxTurn) maxTurn = r.turn_idx
+            nMentions += r.mentions.size
+          }
+          state.update(ConvState(maxTurn, nMentions))
+          Iterator.single(ConvUpdate(convId, maxTurn, nMentions))
+        })
+  }
+
+  /** Run one synchronous pass over whatever files exist (memory sink) —
+    * the local smoke path; production would use a real sink + trigger.
+    */
+  def runOnce(spark: SparkSession, inputDir: String, model: Broadcast[NerModel],
+      queryName: String): DataFrame = {
+    val tagged = tagStream(readTurns(spark, inputDir), model)
+    val q = tagged
+      .select(col("conv_id"), col("turn_idx"), size(col("mentions")).as("n_mentions"),
+        size(col("triples")).as("n_triples"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for the plans that matter at scale:
+  * scan pushdown/pruning, broadcast selection, aggregate strategy,
+  * whole-stage codegen spans (SURVEY.md §4.2 checklist).
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val targets = Seq("r_pricing_agg", "r_broadcast_dims", "r_semi_join",
+      "t_minhash_lsh", "e_knn_quantized")
+    for (name <- targets) {
+      println(s"\n=============== $name ===============")
+      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    println("\n=============== kg surface nodes agg ===============")
+    val b = Kg2.smallBuild(spark)
+    b.nodes.explain("formatted")
+    println("\n=============== kg resolved triples (salted join) ===============")
+    b.resolvedTriples.explain()
+    spark.stop()
+  }
+
+  object Kg2 {
+    def smallBuild(spark: SparkSession): graft.pipeline.KgPipeline.KgOutput = {
+      val labeled = graft.pipeline.Transcripts.generateLabeled(spark, 30)
+      val model = graft.pipeline.NerTraining.trainAndBroadcast(
+        spark, graft.pipeline.Transcripts.trainSplit(labeled))
+      graft.pipeline.KgPipeline.run(spark,
+        graft.pipeline.Transcripts.generate(spark, 30), model)
+    }
+  }
+}

@@ -80,15 +80,24 @@ class SparkParitySpec extends AnyFunSuite {
     assert(sparkSet == oracleSet)
   }
 
-  test("connected components equal oracle components (as surface sets)") {
-    val sparkComponents = kg.nodes.join(kg.components, "node_id")
+  private def componentSets(labels: org.apache.spark.sql.DataFrame): Set[Set[String]] =
+    kg.nodes.join(labels, "node_id")
       .select("component", "norm")
       .collect()
       .map(r => (r.getLong(0), r.getString(1)))
       .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+
+  test("connected components equal oracle components (as surface sets)") {
     val oracleMentions = Oracle.tag(corpus, oracleModel).flatMap(_._2).map(m => (m.value, m.tag))
     val oracleComponents = Oracle.components(oracleMentions)
-    assert(sparkComponents == oracleComponents)
+    assert(componentSets(kg.components) == oracleComponents)
+  }
+
+  test("iterative CC loop equals driver union-find fast path") {
+    val (edges, _) = KgPipeline.candidateEdges(kg.nodes)
+    val loop = componentSets(KgPipeline.connectedComponentsLoop(kg.nodes, edges))
+    val local = componentSets(KgPipeline.connectedComponentsLocal(kg.nodes, edges))
+    assert(loop == local)
   }
 
   test("canonical ids resolve hot-entity aliases to one entity") {
@@ -101,7 +110,7 @@ class SparkParitySpec extends AnyFunSuite {
 
   test("salted resolve equals broadcast resolve") {
     val canonMap = KgPipeline.canonicalize(kg.nodes, kg.components)
-    val viaSalt = KgPipeline.resolveTriples(kg.triples, canonMap)
+    val viaSalt = KgPipeline.resolveTriplesSalted(kg.triples, canonMap)
       .select("conv_id", "turn_idx", "subj", "pred", "obj", "subj_id", "obj_id")
       .collect().toSet
     // plain broadcast join (no salt) as the semantic reference
@@ -151,6 +160,20 @@ class SparkParitySpec extends AnyFunSuite {
       .select("conv_id", "turn_idx", "subj", "pred", "obj").collect().toSet
     assert(t1 == t2)
     assert(GraphSink.doneBuckets(spark, dir2).size == nBuckets)
+  }
+
+  test("gazetteer disambiguation picks the right entity for >=95% of mentions") {
+    val gaz = Gazetteer.aliasTable(spark)
+    val resolved = Gazetteer.disambiguate(kg.mentions, gaz)
+      .select("value", "entity_id").collect()
+    val surfaceToId = TranscriptGen.entities
+      .flatMap(e => e.surfaces.map(s => s -> e.id)).toMap
+    val known = resolved.filter(r => surfaceToId.contains(r.getString(0)))
+    val correct = known.count(r => surfaceToId(r.getString(0)) == r.getLong(1))
+    assert(known.nonEmpty)
+    val acc = correct.toDouble / known.length
+    info(f"disambiguation accuracy: $acc%.4f (${known.length} mentions)")
+    assert(acc >= 0.95, f"accuracy $acc%.4f < 0.95")
   }
 
   test("entry returns rows") {

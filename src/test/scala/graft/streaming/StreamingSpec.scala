@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.corpus.TranscriptGen
+import graft.pipeline.{NerTraining, Transcripts}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** M7 gates: incremental ingest over file drops equals the batch result;
+  * re-delivered turns are deduped inside the watermark; stateful
+  * conversation assembly tracks turn progress across micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val N = 20L
+
+  test("streaming tag over file drops equals batch tagging") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
+    val labeled = Transcripts.generateLabeled(spark, N)
+    val model = NerTraining.trainAndBroadcast(spark, Transcripts.trainSplit(labeled))
+    // two "drops": convs 0..9 then 10..19, the second re-delivering conv 9
+    val all = Transcripts.generate(spark, N).cache()
+    all.where($"conv_id" < "c0000010").write.parquet(s"$dir/drop1")
+    all.where($"conv_id" >= "c0000009").write.parquet(s"$dir/drop2")
+
+    val got = StreamingIngest.runOnce(spark, s"$dir/drop*", model, "stream_smoke")
+      .select("conv_id", "turn_idx", "n_mentions", "n_triples")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+
+    // duplicates removed?
+    assert(got.map(x => (x._1, x._2)).distinct.length == got.length,
+      "re-delivered turns must be deduped within the watermark")
+
+    val batch = graft.pipeline.KgPipeline.tagTurns(all, model)
+      .select($"conv_id", $"turn_idx", org.apache.spark.sql.functions.size($"mentions").as("m"),
+        org.apache.spark.sql.functions.size($"triples").as("t"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSet == batch.toSet)
+  }
+
+  test("windowed mention counts run with watermark") {
+    import spark.implicits._
+    val labeled = Transcripts.generateLabeled(spark, N)
+    val model = NerTraining.trainAndBroadcast(spark, Transcripts.trainSplit(labeled))
+    val dir = java.nio.file.Files.createTempDirectory("stream_w").toString
+    Transcripts.generate(spark, N).write.parquet(s"$dir/d")
+    val q = StreamingIngest.windowedCounts(
+        StreamingIngest.readTurns(spark, s"$dir/d"), model)
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName("wc").start()
+    q.processAllAvailable(); q.stop()
+    // append mode emits only closed windows; correctness of the counts is
+    // covered by the batch twin (r_hourly_counts); here we assert the
+    // stateful plumbing runs and the state store commits
+    assert(spark.table("wc").columns.toSeq == Seq("window", "tag", "n"))
+  }
+
+  test("conversation state tracks max turn across micro-batches") {
+    import spark.implicits._
+    val labeled = Transcripts.generateLabeled(spark, N)
+    val model = NerTraining.trainAndBroadcast(spark, Transcripts.trainSplit(labeled))
+    val dir = java.nio.file.Files.createTempDirectory("stream_s").toString
+    Transcripts.generate(spark, N).write.parquet(s"$dir/d")
+    val q = StreamingIngest.conversationState(
+        StreamingIngest.tagStream(StreamingIngest.readTurns(spark, s"$dir/d"), model))
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName("cs").start()
+    q.processAllAvailable(); q.stop()
+    val updates = spark.table("cs").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    val expected = (0L until N).map(i => (f"c$i%07d", TranscriptGen.convLength(i) - 1)).toMap
+    assert(updates == expected)
+  }
+}
