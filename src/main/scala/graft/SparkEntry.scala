@@ -49,6 +49,40 @@ object SparkEntry {
       graft.pipeline.ClassifyStage.accuracy(Kg.roleScored(s, d))),
     "kg_gazetteer_disambig" -> ((s, d) =>
       graft.pipeline.Gazetteer.disambiguate(
-        Kg.built(s, d).out.mentions, graft.pipeline.Gazetteer.aliasTable(s)))
+        Kg.built(s, d).out.mentions, graft.pipeline.Gazetteer.aliasTable(s))),
+    // skew diagnostics (SURVEY.md §2 row 59): quantiles of turns/conv and
+    // mentions/entity — drives the salt-factor choice
+    "kg_skew_diagnostics" -> ((s, d) => {
+      val b = Kg.built(s, d)
+      val convSizes = b.out.tagged.toDF().groupBy(col("conv_id")).agg(count(lit(1)).as("n"))
+        .agg(lit("turns_per_conv").as("dist"),
+          expr("percentile_approx(n, array(0.5, 0.9, 0.99, 0.999))").as("quantiles"),
+          max(col("n")).as("max_n"))
+      val entitySizes = b.out.mentions.groupBy(col("norm")).agg(count(lit(1)).as("n"))
+        .agg(lit("mentions_per_surface").as("dist"),
+          expr("percentile_approx(n, array(0.5, 0.9, 0.99, 0.999))").as("quantiles"),
+          max(col("n")).as("max_n"))
+      convSizes.unionByName(entitySizes)
+    }),
+    // metrics rollup with HLL approx-distinct (rows 57-58)
+    "kg_metrics_rollup" -> ((s, d) => Kg.built(s, d).out.resolvedTriples
+      .withColumn("day", to_date(col("ts")))
+      .rollup(col("day"), col("pred"))
+      .agg(count(lit(1)).as("n_triples"),
+        approx_count_distinct(col("conv_id")).as("approx_convs"))
+      .select(coalesce(col("day").cast("string"), lit("ALL")).as("day"),
+        coalesce(col("pred"), lit("ALL")).as("pred"),
+        col("n_triples"), col("approx_convs"))
+      .orderBy(col("day"), col("pred"))),
+    // graph materialization: writes partitioned triples + per-bucket
+    // manifests (resumable), returns the manifest table (row 8, §7.5)
+    "kg_materialize" -> ((s, d) => {
+      val b = Kg.built(s, d)
+      val outDir = s"/tmp/graft_kg_out/${new java.io.File(d).getName}"
+      graft.pipeline.GraphSink.writeTriples(s, b.out.resolvedTriples, outDir, 16)
+      graft.pipeline.GraphSink.writeEntities(b.out.entities, outDir)
+      graft.pipeline.GraphSink.writeEdges(b.out.edges, outDir)
+      s.read.json(s"$outDir/_manifests").orderBy(col("bucket"))
+    })
   )
 }

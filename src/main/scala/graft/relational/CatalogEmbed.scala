@@ -84,6 +84,25 @@ object CatalogEmbed {
       .agg(round(avg(col("qv")), 4).as("centroid"), count(lit(1)).as("n"))
       .orderBy(col("label"), col("dim"))),
 
+    // KNN classifier baseline (SURVEY.md §2 row 41): majority label of
+    // the 5 nearest neighbors (quantized dot), ORACLED
+    "e_knn_classify" -> ((s, d) => {
+      val q = emb(s, d).select(col("vec_id"), col("label"), expr(quantize).as("q"))
+      val probes = q.where(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+      val neighbors = probes.join(q.where(col("vec_id") >= 20))
+        .withColumn("dot", expr("aggregate(zip_with(pq, q, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("probe_id")).orderBy(col("dot").desc, col("vec_id"))))
+        .where(col("rk") <= 5)
+      neighbors.groupBy(col("probe_id"), col("label")).agg(count(lit(1)).as("votes"))
+        .withColumn("vrk", row_number().over(
+          Window.partitionBy(col("probe_id")).orderBy(col("votes").desc, col("label"))))
+        .where(col("vrk") === 1)
+        .select(col("probe_id"), col("label").as("predicted"), col("votes"))
+        .orderBy(col("probe_id"))
+    }),
+
     // multimodal stub (builder prompt): opaque binary payload + typed
     // metadata; "decode" is a deterministic fake feature extractor run as
     // a batched mapPartitions (the real Spark plumbing: schema, batching,
@@ -126,6 +145,22 @@ object CatalogEmbed {
         |  FROM scored)
         |SELECT probe_id, rk, neighbor_id, dot FROM ranked WHERE rk <= 5
         |ORDER BY probe_id, rk""".stripMargin,
+    "e_knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+        |  FROM embeddings),
+        |nb AS (
+        |  SELECT p.vec_id AS probe_id, c.label,
+        |    row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY list_dot_product(p.qv, c.qv) DESC, c.vec_id) AS rk
+        |  FROM q p JOIN q c ON p.vec_id < 20 AND c.vec_id >= 20),
+        |votes AS (
+        |  SELECT probe_id, label, count(*) AS votes FROM nb WHERE rk <= 5 GROUP BY 1, 2),
+        |best AS (
+        |  SELECT probe_id, label AS predicted, votes,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) AS vrk
+        |  FROM votes)
+        |SELECT probe_id, predicted, votes FROM best WHERE vrk = 1 ORDER BY probe_id""".stripMargin,
     "e_label_centroids" ->
       """SELECT label, dim, round(avg(qv), 4) AS centroid, count(*) AS n FROM (
         |  SELECT label, i - 1 AS dim, round(CAST(embedding[i] AS DOUBLE) * 1000) AS qv

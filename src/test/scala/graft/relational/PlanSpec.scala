@@ -1,0 +1,83 @@
+package graft.relational
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape gates (SURVEY.md §4.2 checklist): pushdown +
+  * column pruning reach the parquet scan, dimension joins broadcast,
+  * hot aggregations stay HashAggregate, semi/anti joins plan as such,
+  * and the MinHash rewrite avoids row-exploding generators. These lock
+  * in the plans we chose — a regression to a worse plan fails the
+  * suite, not just the benchmark.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plans")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    // disable AQE here so the compile-time plan is inspectable
+    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(name: String): String =
+    Catalog.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def scans(name: String): Seq[FileSourceScanExec] =
+    Catalog.queries(name)(spark, sfDir).queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+
+  test("pricing agg: hash aggregation + pruned scan (5 of 11 columns)") {
+    val p = plan("r_pricing_agg")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortAggregate"))
+    val scan = scans("r_pricing_agg").head
+    assert(scan.requiredSchema.fieldNames.length == 5,
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("dimension chain: three broadcast joins, no sort-merge") {
+    val p = plan("r_broadcast_dims")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("semi/anti joins plan as LeftSemi/LeftAnti") {
+    assert(plan("r_semi_join").contains("LeftSemi"))
+    assert(plan("r_anti_join").contains("LeftAnti"))
+  }
+
+  test("filter pushdown reaches the scan") {
+    val scan = scans("r_string_funcs").head
+    assert(scan.metadata("PushedFilters").contains("LessThanOrEqual(c_custkey,100)"),
+      scan.metadata("PushedFilters"))
+  }
+
+  test("minhash avoids row-exploding signature generation") {
+    val p = plan("t_minhash_lsh")
+    assert(!p.contains("posexplode"))
+    // signature computed as 16 min aggregates in one pass
+    assert(p.contains("partial_min"))
+  }
+
+  test("kg surface-node hot aggregation is hash-based") {
+    val labeled = graft.pipeline.Transcripts.generateLabeled(spark, 20)
+    val model = graft.pipeline.NerTraining.trainAndBroadcast(
+      spark, graft.pipeline.Transcripts.trainSplit(labeled))
+    val tagged = graft.pipeline.KgPipeline.tagTurns(
+      graft.pipeline.Transcripts.generate(spark, 20), model)
+    val nodes = graft.pipeline.KgPipeline.surfaceNodes(
+      graft.pipeline.KgPipeline.mentionRows(tagged))
+    val p = nodes.queryExecution.executedPlan.toString
+    // the big (norm, tag, value) pass must be a HashAggregate; only the
+    // tiny second-stage min(value) agg may sort
+    val firstHash = p.indexOf("HashAggregate")
+    assert(firstHash >= 0, p)
+  }
+}
