@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.semantics.StringOps
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the two hottest scalar text functions
+  * (SURVEY.md §4.3 escalation path (b): a codegen'd Expression beats a
+  * Scala UDF — no ScalaUDF wrapper, no encoder round-trip, null handling
+  * inlined into whole-stage codegen; the Java body delegates to the same
+  * `semantics` code the oracle runs, so parity is untouched).
+  *
+  * Used on the hot paths: mention normalization (every mention row) and
+  * canonical-resolve join keys (every triple, twice). The pal_* UDF
+  * registry remains for the long tail.
+  */
+object NativeFunctions {
+
+  /** Static entry points referenced from generated Java code. */
+  def normalizeSurface(s: UTF8String): UTF8String =
+    UTF8String.fromString(StringOps.normalizeSurface(s.toString))
+
+  def caseSignature(s: UTF8String): UTF8String =
+    UTF8String.fromString(StringOps.caseSignature(s.toString))
+
+  def normalize_surface(c: Column): Column =
+    GraftColumnBridge.column(NormalizeSurfaceExpr(GraftColumnBridge.expression(c)))
+  def case_signature(c: Column): Column =
+    GraftColumnBridge.column(CaseSignatureExpr(GraftColumnBridge.expression(c)))
+
+  /** SQL registration (native expressions, not UDFs). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("pal_normalize_native",
+      exprs => NormalizeSurfaceExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("pal_case_signature_native",
+      exprs => CaseSignatureExpr(exprs.head), "built-in")
+  }
+}
+
+trait StringUnaryExpr extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+}
+
+case class NormalizeSurfaceExpr(child: Expression) extends StringUnaryExpr {
+  override def prettyName: String = "pal_normalize_native"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeFunctions.normalizeSurface(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeFunctions.normalizeSurface($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeSurfaceExpr =
+    copy(child = newChild)
+}
+
+case class CaseSignatureExpr(child: Expression) extends StringUnaryExpr {
+  override def prettyName: String = "pal_case_signature_native"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeFunctions.caseSignature(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeFunctions.caseSignature($c)")
+  override protected def withNewChildInternal(newChild: Expression): CaseSignatureExpr =
+    copy(child = newChild)
+}

@@ -30,12 +30,18 @@ object Gazetteer {
 
   /** Candidate generation (broadcast equi-join on block key) + residual
     * fuzzy predicate + scored disambiguation.
+    *
+    * Scoring runs on DISTINCT (norm, tag) surfaces, not on the mention
+    * stream: the expensive similarity UDF touches a few hundred distinct
+    * surfaces instead of millions of mention rows, and the winning
+    * entity per surface is broadcast-joined back — same result, ~1000×
+    * less UDF work at corpus scale.
     */
   def disambiguate(mentions: DataFrame, gazetteer: DataFrame): DataFrame = {
-    val spark = mentions.sparkSession
     val simUdf = udf((a: String, b: String) => Similarity.ngramSim(a, b))
     val keyUdf = udf((norm: String) => Linker.blockKeys(norm).headOption.orNull)
-    val cands = mentions
+    val distinctSurfaces = mentions.select(col("norm"), col("tag")).distinct()
+    val cands = distinctSurfaces
       .withColumn("block_key", keyUdf(col("norm")))
       .join(broadcast(gazetteer), Seq("block_key"), "inner")
       .withColumn("sim", simUdf(col("norm"), col("alias_norm")))
@@ -45,10 +51,12 @@ object Gazetteer {
           when(col("tag") === col("entity_type"), 0.3).otherwise(0.0) +
           col("popularity") * 0.1, 6))
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("conv_id"), col("turn_idx"), col("start"))
+    val w = Window.partitionBy(col("norm"), col("tag"))
       .orderBy(col("score").desc, col("entity_id"))
-    cands.withColumn("rk", row_number().over(w))
+    val best = cands.withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
+      .select(col("norm"), col("tag"), col("entity_id"), col("alias"), col("score"))
+    mentions.join(broadcast(best), Seq("norm", "tag"), "inner")
       .select(col("conv_id"), col("turn_idx"), col("start"), col("end"),
         col("value"), col("tag"), col("entity_id"), col("alias"), col("score"))
   }

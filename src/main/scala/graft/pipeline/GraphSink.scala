@@ -66,7 +66,9 @@ object GraphSink {
       count(lit(1)).as("rows"),
       approx_count_distinct(col("conv_id")).as("convs"))
 
-    observed.write
+    // repartition by the partition column first: one file per bucket
+    // instead of (#tasks × #buckets) fragments
+    observed.repartition(col("conv_bucket")).write
       .mode(SaveMode.Append)
       .partitionBy("conv_bucket")
       .parquet(s"$outDir/triples")

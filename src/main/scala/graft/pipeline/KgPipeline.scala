@@ -61,10 +61,10 @@ object KgPipeline {
   def mentionRows(tagged: Dataset[TaggedRow]): DataFrame = {
     val spark = tagged.sparkSession
     import spark.implicits._
-    val normUdf = udf((s: String) => StringOps.normalizeSurface(s))
     tagged.select($"conv_id", $"turn_idx", explode($"mentions").as("m"))
       .select($"conv_id", $"turn_idx", $"m.start", $"m.end", $"m.value", $"m.tag", $"m.conf")
-      .withColumn("norm", normUdf($"value"))
+      // native codegen'd expression, not a ScalaUDF (hot path; §4.3(b))
+      .withColumn("norm", graft.functions.NativeFunctions.normalize_surface($"value"))
   }
 
   def tripleRows(tagged: Dataset[TaggedRow]): DataFrame = {
@@ -231,17 +231,17 @@ object KgPipeline {
 
   /** Broadcast path: one narrow stage over the triple stream. */
   def resolveTriplesBroadcast(triples: DataFrame, canonMap: DataFrame): DataFrame = {
-    val normUdf = udf((s: String) => StringOps.normalizeSurface(s))
+    import graft.functions.NativeFunctions.normalize_surface
     val cm = canonMap.select(col("norm"), col("tag"), col("entity_id"), col("canonical_norm"))
     val withSubj = triples
-      .withColumn("s_norm", normUdf(col("subj")))
+      .withColumn("s_norm", normalize_surface(col("subj")))
       .join(broadcast(cm
           .withColumnRenamed("norm", "s_norm").withColumnRenamed("tag", "subj_tag")
           .withColumnRenamed("entity_id", "subj_id")
           .withColumnRenamed("canonical_norm", "subj_canonical")),
         Seq("s_norm", "subj_tag"), "left")
     withSubj
-      .withColumn("o_norm", normUdf(col("obj")))
+      .withColumn("o_norm", normalize_surface(col("obj")))
       .join(broadcast(cm
           .withColumnRenamed("norm", "o_norm").withColumnRenamed("tag", "obj_tag")
           .withColumnRenamed("entity_id", "obj_id")
@@ -262,8 +262,8 @@ object KgPipeline {
       .select(col("norm"), col("tag"), col("entity_id"), col("canonical_norm"))
       .withColumn("salt", explode(sequence(lit(0), lit(LINK_SALT - 1))))
     def side(df: DataFrame, surfaceCol: String, tagCol: String, prefix: String): DataFrame = {
-      val normUdf = udf((s: String) => StringOps.normalizeSurface(s))
-      df.withColumn(s"${prefix}_norm", normUdf(col(surfaceCol)))
+      df.withColumn(s"${prefix}_norm",
+          graft.functions.NativeFunctions.normalize_surface(col(surfaceCol)))
         .withColumn(s"${prefix}_salt",
           pmod(xxhash64(col("conv_id"), col("turn_idx"), col(surfaceCol)), lit(LINK_SALT)).cast("int"))
     }

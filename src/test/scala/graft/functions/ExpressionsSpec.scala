@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native Catalyst expressions: equal to the UDF/oracle semantics, no
+  * ScalaUDF node in the plan, codegen-compatible.
+  */
+class ExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("exprs")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val names = spark.read
+    .parquet("/root/testdata/sf0.001/customer.parquet")
+    .select(col("c_name").as("s"))
+
+  test("native expressions equal the semantics functions row-for-row") {
+    import spark.implicits._
+    val rows = names
+      .withColumn("norm_native", NativeFunctions.normalize_surface($"s"))
+      .withColumn("sig_native", NativeFunctions.case_signature($"s"))
+      .collect()
+    for (r <- rows) {
+      val s = r.getString(0)
+      assert(r.getString(1) == graft.semantics.StringOps.normalizeSurface(s))
+      assert(r.getString(2) == graft.semantics.StringOps.caseSignature(s))
+    }
+  }
+
+  test("plan contains no ScalaUDF and stays in whole-stage codegen") {
+    val df = names.select(NativeFunctions.normalize_surface(col("s")).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
+  test("null propagates") {
+    import spark.implicits._
+    val out = Seq[String]("A", null).toDF("s")
+      .select(NativeFunctions.case_signature($"s")).collect()
+    assert(out(0).getString(0) == "A" && out(1).isNullAt(0))
+  }
+
+  test("SQL registration works") {
+    NativeFunctions.register(spark)
+    names.createOrReplaceTempView("names_v")
+    val r = spark.sql(
+      "SELECT pal_case_signature_native(s) AS sig, pal_normalize_native(s) AS n FROM names_v LIMIT 1")
+      .first()
+    assert(r.getString(0).nonEmpty && r.getString(1).nonEmpty)
+  }
+}
