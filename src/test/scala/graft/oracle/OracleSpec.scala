@@ -89,6 +89,24 @@ class OracleSpec extends AnyFunSuite {
     assert(merges == 0, s"$merges components merge distinct entities")
   }
 
+  test("dictionary classifier accuracy threshold on role prediction") {
+    // classifier accuracy-threshold gate (FIXTURES.md §C.3 analogue):
+    // roles have distinct template vocabularies -> the dictionary
+    // classifier must clearly beat the majority-class baseline
+    val fs = FeatureSetting(charGrams = false, minN = 1, maxN = 2, maxTerms = 1000)
+    val trainDocs = train.map(lt => (lt.turn.text, lt.turn.role))
+    val model = DictModel.train(trainDocs, fs)
+    val evalDocs = eval.map(lt => (lt.turn.text, lt.turn.role))
+    val pairs = evalDocs.map { case (t, actual) =>
+      (actual, Classify(t, model, fs, BayesScorer)._1)
+    }
+    val c = Eval.confusion(pairs)
+    val majority = evalDocs.groupBy(_._2).values.map(_.size).max.toDouble / evalDocs.size
+    info(f"role classifier accuracy=${c.accuracy}%.4f macroF1=${c.macroF1}%.4f majority=$majority%.4f")
+    assert(c.accuracy >= 0.85, f"accuracy ${c.accuracy}%.4f < 0.85")
+    assert(c.accuracy > majority, "must beat majority baseline")
+  }
+
   test("oracle triples are deterministic across runs") {
     val r1 = Oracle.runKg(10).triples
     val r2 = Oracle.runKg(10).triples
