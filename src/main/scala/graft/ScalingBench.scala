@@ -201,6 +201,8 @@ object ScalingBench {
          |joins are blocking-key-bounded; the canonical-map join broadcasts
          |when small and salt-shuffles when large.
          |""".stripMargin
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    // NOTE: BENCH/BASELINE.md is the curated report (incl. host
+    // calibration); auto-generated output goes to a separate file.
+    Files.writeString(Paths.get("BENCH/SCALING_REPORT.md"), md)
   }
 }

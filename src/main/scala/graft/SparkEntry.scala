@@ -76,6 +76,17 @@ object SparkEntry {
       .orderBy(col("day"), col("pred"))),
     // graph materialization: writes partitioned triples + per-bucket
     // manifests (resumable), returns the manifest table (row 8, §7.5)
+    // CategoryEntries merge as a UDAF (SURVEY.md §2 row 62): per-surface
+    // tag-confidence distribution; map sorted to array for determinism
+    "kg_surface_type_dist" -> ((s, d) => {
+      graft.functions.CategoryMergeAggregator.register(s)
+      Kg.built(s, d).out.mentions.createOrReplaceTempView("mentions_v")
+      s.sql(
+        """SELECT norm,
+          |  array_sort(map_entries(pal_category_merge(tag, conf))) AS tag_dist,
+          |  count(*) AS n
+          |FROM mentions_v GROUP BY norm ORDER BY norm""".stripMargin)
+    }),
     "kg_materialize" -> ((s, d) => {
       val b = Kg.built(s, d)
       val outDir = s"/tmp/graft_kg_out/${new java.io.File(d).getName}"

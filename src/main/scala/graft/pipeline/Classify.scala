@@ -30,7 +30,9 @@ object ClassifyStage {
       term -> xs.map { case ((_, cat), n) => cat -> n.toInt }.toMap
     }
     val catTerms = termCounts.groupBy(_._1._2).map { case (c, xs) => c -> xs.map(_._2).sum }
-    DictModel(dict, docCounts.toMap, catTerms, docCounts.map(_._2).sum)
+    // prune singleton terms before broadcast (SURVEY.md §2 row 13 wired
+    // into the pipeline: bounds the broadcast model size at corpus scale)
+    DictModel(dict, docCounts.toMap, catTerms, docCounts.map(_._2).sum).pruned(2)
   }
 
   /** Shuffle-free scoring pass. */

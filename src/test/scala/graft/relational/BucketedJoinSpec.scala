@@ -26,6 +26,21 @@ class BucketedJoinSpec extends AnyFunSuite {
 
   test("bucketed+sorted tables join without any exchange") {
     val sfDir = "/root/testdata/sf0.001"
+    // getOrCreate may hand back another suite's session — re-assert the
+    // runtime-settable configs this test depends on
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // ... and drop tables AND their locations defensively
+    for (t <- Seq("lineitem_b", "orders_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("lineitem_b")
