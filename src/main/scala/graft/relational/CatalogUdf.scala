@@ -43,6 +43,22 @@ object CatalogUdf {
           |  SELECT DISTINCT date_format(o_orderdate, 'yyyy-MM-dd') AS ds FROM orders_v)
           |ORDER BY ds""".stripMargin)
     }),
+    // regex taggers (SURVEY.md §2 rows 24/54): URL/date/smiley mention
+    // detection + prioritized union, over deterministic synthesized text
+    "u_regex_taggers" -> ((s, d) => {
+      withUdfs(s).read.parquet(s"$d/documents.parquet").createOrReplaceTempView("documents_v")
+      s.sql(
+        """SELECT doc_id,
+          |  pal_tag_urls(txt) AS urls,
+          |  pal_tag_dates(txt) AS dates,
+          |  pal_tag_smileys(txt) AS smileys,
+          |  pal_tag_all(txt) AS unioned
+          |FROM (
+          |  SELECT doc_id, concat('ping https://kb.example.org/doc/', doc_id,
+          |    ' :) on 2021-07-0', 1 + doc_id % 9, ' ok') AS txt
+          |  FROM documents_v WHERE doc_id < 50)
+          |ORDER BY doc_id""".stripMargin)
+    }),
     "u_similarity" -> ((s, d) => {
       withUdfs(s).read.parquet(s"$d/nation.parquet").createOrReplaceTempView("nation_v")
       s.sql(

@@ -32,6 +32,9 @@ object Functions {
     u.register("pal_is_date_fragment", (s: String) => StringOps.containsDateFragment(s))
     u.register("pal_tag_candidates", (s: String) => StringTagger.tag(s).map(_.value))
     u.register("pal_tag_urls", (s: String) => RegexTaggers.tagUrls(s).map(_.value))
+    u.register("pal_tag_dates", (s: String) => RegexTaggers.tagDates(s).map(_.value))
+    u.register("pal_tag_smileys", (s: String) => RegexTaggers.tagSmileys(s).map(_.value))
+    u.register("pal_tag_all", (s: String) => RegexTaggers.tagAll(s).map(m => m.tag + ":" + m.value))
     u.register("pal_block_keys", (s: String) => Linker.blockKeys(StringOps.normalizeSurface(s)))
     u.register("pal_link_match", (a: String, b: String) =>
       Linker.isMatch(StringOps.normalizeSurface(a), StringOps.normalizeSurface(b)))
