@@ -70,6 +70,19 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Gap-based session windows over the turn stream (SURVEY.md §2 row
+    * 56 streaming twin): groups turns into sessions closed by 30 minutes
+    * of inactivity per conversation.
+    */
+  def sessionCounts(turns: Dataset[Turn]): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"conv_id")
+      .agg(count(lit(1)).as("n_turns"))
+  }
+
   /** Conversation assembly across micro-batches: custom state per conv
     * (flatMapGroupsWithState) emitting running (max_turn, n_mentions).
     */

@@ -63,6 +63,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("wc").columns.toSeq == Seq("window", "tag", "n"))
   }
 
+  test("session windows close on inactivity gaps (RocksDB state store)") {
+    import spark.implicits._
+    // turns are 30s apart within a conv; convs start 1h apart -> each
+    // conversation forms exactly one session window
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("stream_sw").toString
+      Transcripts.generate(spark, N).write.parquet(s"$dir/d")
+      val q = StreamingIngest.sessionCounts(StreamingIngest.readTurns(spark, s"$dir/d"))
+        .writeStream.outputMode(OutputMode.Append).format("memory").queryName("sw").start()
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("sw").select("conv_id", "n_turns").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // append emits only windows closed by the watermark; all emitted
+      // sessions must match the full conversation length
+      val expected = (0L until N).map(i => (f"c$i%07d", TranscriptGen.convLength(i).toLong)).toMap
+      assert(rows.nonEmpty)
+      for ((conv, n) <- rows) assert(expected(conv) == n, s"$conv: $n != ${expected(conv)}")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("conversation state tracks max turn across micro-batches") {
     import spark.implicits._
     val labeled = Transcripts.generateLabeled(spark, N)
