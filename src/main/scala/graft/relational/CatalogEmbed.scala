@@ -84,6 +84,30 @@ object CatalogEmbed {
       .agg(round(avg(col("qv")), 4).as("centroid"), count(lit(1)).as("n"))
       .orderBy(col("label"), col("dim"))),
 
+    // embedding-cosine near-duplicate detection (builder prompt dedup
+    // family): candidate pairs bounded by a sign-bit LSH bucket, exact
+    // cosine as the residual predicate — the scale path for embedding
+    // dedup (bucket join, no all-pairs). Rows-only (float math).
+    "e_cosine_dupes" -> ((s, d) => {
+      val v = emb(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      val planes = "transform(sequence(0, 7), p -> " +
+        "aggregate(zip_with(v, sequence(0, size(v) - 1), (x, i) -> " +
+        "CASE WHEN pmod(xxhash64(i, p), 2) = 0 THEN x ELSE -x END), 0D, (a, z) -> a + z))"
+      val bucketed = v.withColumn("bucket",
+        expr(s"aggregate(zip_with($planes, sequence(0, 7), (s, p) -> " +
+          "CASE WHEN s > 0 THEN shiftleft(1L, p) ELSE 0L END), 0L, (a, z) -> a + z)"))
+      bucketed.as("a").join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", round(
+          expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
+            (col("a.nrm") * col("b.nrm")), 6))
+        .where(col("cos") >= 0.9)
+        .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("dup_id"), col("cos"))
+        .orderBy(col("keep_id"), col("dup_id"))
+    }),
+
     // KNN classifier baseline (SURVEY.md §2 row 41): majority label of
     // the 5 nearest neighbors (quantized dot), ORACLED
     "e_knn_classify" -> ((s, d) => {
