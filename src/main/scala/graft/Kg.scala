@@ -45,8 +45,13 @@ object Kg {
     */
   def roleScored(spark: SparkSession, sfDir: String): DataFrame =
     roleCache.getOrElseUpdate(sfDir, {
+      import spark.implicits._
       val b = built(spark, sfDir)
-      val turns = pipeline.Transcripts.generate(spark, b.nConvs)
+      // derive turns from the ALREADY-CACHED labeled set — r1 regenerated
+      // the whole corpus here (three extra generation passes: train term
+      // agg, doc counts, score), which dominated kg_role_accuracy's 14.6 s
+      val turns = b.labeled.map(r =>
+        graft.corpus.Turn(r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts))
       val model = pipeline.ClassifyStage.train(turns)
       pipeline.ClassifyStage.score(turns, model, graft.semantics.BayesScorer).cache()
     })

@@ -22,12 +22,69 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     kgQueries ++ graft.relational.Catalog.queries
 
-  def oracleSql: Map[String, String] = graft.relational.Catalog.oracleSql
+  def oracleSql: Map[String, String] = kgOracleSql ++ graft.relational.Catalog.oracleSql
+
+  /** KG-pipeline oracles: the corpus is generated (not in sfDir), so
+    * these SQLs read the Spark dumps themselves — `__OUTDIR__` is
+    * substituted by Verify with the actual dump directory. Each checks a
+    * DIFFERENT derivation than the Spark plan produced (window ordering
+    * recomputed, aggregations recomputed from the mention/triple level),
+    * so they are real cross-checks, not identities.
+    */
+  private def kgOracleSql: Map[String, String] = Map(
+    // stable turn ordering invariant (north rule): recompute turn_ord
+    // with DuckDB's own window function and compare every row
+    "kg_turns" ->
+      """SELECT conv_id, turn_idx,
+        |CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT) AS turn_ord,
+        |role, tool, ts_s
+        |FROM '__OUTDIR__/kg_turns/*.parquet'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+    "kg_surface_nodes" ->
+      """SELECT norm, tag, count(*) AS n_mentions, min(value) AS surface
+        |FROM '__OUTDIR__/kg_mentions/*.parquet'
+        |WHERE length(norm) > 0 AND tag NOT IN ('URL', 'DATE', 'SMILEY', 'TYPE')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "kg_pred_stats" ->
+      """SELECT coalesce(day, 'ALL') AS day, coalesce(pred, 'ALL') AS pred,
+        |count(*) AS n_triples, count(DISTINCT conv_id) AS n_convs
+        |FROM (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, pred, conv_id
+        |      FROM '__OUTDIR__/kg_resolved_triples/*.parquet')
+        |GROUP BY ROLLUP (day, pred) ORDER BY 1, 2""".stripMargin,
+    "kg_edges" ->
+      """SELECT subj_id AS src, obj_id AS dst, pred, CAST(count(*) AS DOUBLE) AS weight
+        |FROM '__OUTDIR__/kg_resolved_triples/*.parquet'
+        |WHERE subj_id IS NOT NULL AND obj_id IS NOT NULL AND pred <> 'instance_of'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "kg_role_confusion" ->
+      """SELECT actual,
+        |CAST(sum(CASE WHEN predicted = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS "user",
+        |CAST(sum(CASE WHEN predicted = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS assistant,
+        |CAST(sum(CASE WHEN predicted = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS tool
+        |FROM '__OUTDIR__/kg_role_scored/*.parquet'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "kg_role_accuracy" ->
+      """SELECT round(avg(CASE WHEN actual = predicted THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+        |count(*) AS n FROM '__OUTDIR__/kg_role_scored/*.parquet'""".stripMargin,
+    "kg_surface_type_dist" ->
+      """WITH m AS (SELECT norm, tag, conf FROM '__OUTDIR__/kg_mentions/*.parquet'),
+        |s AS (SELECT norm, tag, sum(conf) AS sc FROM m GROUP BY 1, 2),
+        |t AS (SELECT norm, sum(sc) AS tot FROM s GROUP BY 1),
+        |nn AS (SELECT norm, count(*) AS n FROM m GROUP BY 1),
+        |d AS (SELECT s.norm, s.tag, round(round(s.sc / t.tot, 6), 4) AS v
+        |      FROM s JOIN t ON s.norm = t.norm)
+        |SELECT d.norm, string_agg(d.tag || ':' || CAST(d.v AS VARCHAR), ';' ORDER BY d.tag) AS tag_dist,
+        |  nn.n
+        |FROM d JOIN nn ON d.norm = nn.norm
+        |GROUP BY d.norm, nn.n ORDER BY d.norm""".stripMargin
+  )
 
   // ------------------------------------------------- KG pipeline queries
   private def kgQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_turns" -> ((s, d) => Kg.built(s, d).out.tagged.toDF()
-      .select("conv_id", "turn_idx", "turn_ord", "role", "tool", "ts")),
+      .select(col("conv_id"), col("turn_idx"), col("turn_ord"), col("role"), col("tool"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy(col("conv_id"), col("turn_idx"))),
     "kg_train_dict" -> ((s, d) => {
       val dict = graft.pipeline.NerTraining.dictionaryDF(
         graft.pipeline.Transcripts.trainSplit(Kg.built(s, d).labeled))
@@ -35,11 +92,34 @@ object SparkEntry {
     }),
     "kg_mentions" -> ((s, d) => Kg.built(s, d).out.mentions),
     "kg_triples" -> ((s, d) => Kg.built(s, d).out.triples),
-    "kg_surface_nodes" -> ((s, d) => Kg.built(s, d).out.nodes),
+    // node_id omitted: it is xxhash64-derived (no DuckDB twin); the
+    // oracle recomputes the whole aggregation from the mention dump
+    "kg_surface_nodes" -> ((s, d) => Kg.built(s, d).out.nodes
+      .select(col("norm"), col("tag"), col("n_mentions"), col("surface"))
+      .orderBy(col("norm"), col("tag"))),
     "kg_components" -> ((s, d) => Kg.built(s, d).out.components),
-    "kg_entities" -> ((s, d) => Kg.built(s, d).out.entities),
+    // aliases stringified: the driver's verify harness sorts/hashes rows
+    // with pandas, which cannot hash ARRAY cells (r1 dump-err)
+    "kg_entities" -> ((s, d) => Kg.built(s, d).out.entities
+      .withColumn("aliases", concat_ws("|", col("aliases")))),
     "kg_resolved_triples" -> ((s, d) => Kg.built(s, d).out.resolvedTriples),
-    "kg_edges" -> ((s, d) => Kg.built(s, d).out.edges),
+    "kg_edges" -> ((s, d) => Kg.built(s, d).out.edges
+      .orderBy(col("src"), col("dst"), col("pred"))),
+    // exact-count rollup twin of kg_metrics_rollup (that one demos HLL
+    // approx_count_distinct, whose sketch has no DuckDB twin — this one
+    // is fully oracled from the resolved-triple dump)
+    "kg_pred_stats" -> ((s, d) => Kg.built(s, d).out.resolvedTriples
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .rollup(col("day"), col("pred"))
+      .agg(count(lit(1)).as("n_triples"), countDistinct(col("conv_id")).as("n_convs"))
+      .select(coalesce(col("day"), lit("ALL")).as("day"),
+        coalesce(col("pred"), lit("ALL")).as("pred"), col("n_triples"), col("n_convs"))
+      .orderBy(col("day"), col("pred"))),
+    // scored rows dumped as the INPUT for the role confusion/accuracy
+    // oracles (they recompute both aggregates in DuckDB)
+    "kg_role_scored" -> ((s, d) => Kg.roleScored(s, d)
+      .select(col("conv_id"), col("turn_idx"), col("actual"), col("predicted"))
+      .orderBy(col("conv_id"), col("turn_idx"))),
     "kg_block_overflow" -> ((s, d) => Kg.built(s, d).out.blockOverflow),
     "kg_eval_prf" -> ((s, d) => Kg.evalPrf(s, d)),
     "kg_ner_errors" -> ((s, d) => Kg.nerErrors(s, d)),
@@ -54,14 +134,13 @@ object SparkEntry {
     // mentions/entity — drives the salt-factor choice
     "kg_skew_diagnostics" -> ((s, d) => {
       val b = Kg.built(s, d)
+      // quantiles stringified (pandas can't hash ARRAY cells — r1 dump-err)
+      val qs = "concat_ws(',', transform(percentile_approx(n, array(0.5, 0.9, 0.99, 0.999)), " +
+        "x -> cast(x as string)))"
       val convSizes = b.out.tagged.toDF().groupBy(col("conv_id")).agg(count(lit(1)).as("n"))
-        .agg(lit("turns_per_conv").as("dist"),
-          expr("percentile_approx(n, array(0.5, 0.9, 0.99, 0.999))").as("quantiles"),
-          max(col("n")).as("max_n"))
+        .agg(lit("turns_per_conv").as("dist"), expr(qs).as("quantiles"), max(col("n")).as("max_n"))
       val entitySizes = b.out.mentions.groupBy(col("norm")).agg(count(lit(1)).as("n"))
-        .agg(lit("mentions_per_surface").as("dist"),
-          expr("percentile_approx(n, array(0.5, 0.9, 0.99, 0.999))").as("quantiles"),
-          max(col("n")).as("max_n"))
+        .agg(lit("mentions_per_surface").as("dist"), expr(qs).as("quantiles"), max(col("n")).as("max_n"))
       convSizes.unionByName(entitySizes)
     }),
     // metrics rollup with HLL approx-distinct (rows 57-58)
@@ -83,17 +162,26 @@ object SparkEntry {
       Kg.built(s, d).out.mentions.createOrReplaceTempView("mentions_v")
       s.sql(
         """SELECT norm,
-          |  array_sort(map_entries(pal_category_merge(tag, conf))) AS tag_dist,
+          |  concat_ws(';', transform(array_sort(map_entries(pal_category_merge(tag, conf))),
+          |    e -> concat(e.key, ':', cast(round(e.value, 4) as string)))) AS tag_dist,
           |  count(*) AS n
           |FROM mentions_v GROUP BY norm ORDER BY norm""".stripMargin)
     }),
     "kg_materialize" -> ((s, d) => {
       val b = Kg.built(s, d)
+      // fresh target per invocation: a leftover _manifests dir from an
+      // earlier run would flip this into the resume path (0 pending
+      // buckets) and make the returned manifest table nondeterministic
       val outDir = s"/tmp/graft_kg_out/${new java.io.File(d).getName}"
+      val p = new org.apache.hadoop.fs.Path(outDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
       graft.pipeline.GraphSink.writeTriples(s, b.out.resolvedTriples, outDir, 16)
       graft.pipeline.GraphSink.writeEntities(b.out.entities, outDir)
       graft.pipeline.GraphSink.writeEdges(b.out.edges, outDir)
-      s.read.json(s"$outDir/_manifests").orderBy(col("bucket"))
+      s.read.json(s"$outDir/_manifests")
+        .select(col("bucket"), col("rows"), col("fingerprint"), col("config"))
+        .orderBy(col("bucket"))
     })
   )
 }

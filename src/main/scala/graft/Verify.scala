@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDirArg) = args
+    // absolute: __OUTDIR__ oracle SQLs must resolve from any DuckDB cwd
+    val outDir = Paths.get(outDirArg).toAbsolutePath.toString
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,8 +36,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // KG-pipeline oracles read the Spark dumps themselves (the corpus is
+    // generated, not in sfDir): substitute the real outDir into the SQL
+    // so the driver's DuckDB (which runs after all dumps, on the same
+    // filesystem) can read '<outDir>/<query>/*.parquet'.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUTDIR__", outDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -17,22 +17,38 @@ object ClassifyStage {
 
   /** Training aggregation: docs.flatMap(ngrams) -> groupBy(term, cat)
     * .count() (+ per-category doc counts), assembled into a DictModel.
+    *
+    * Pruning happens DISTRIBUTEDLY, before the collect: r1 collected the
+    * full bigram vocabulary to the driver and pruned there — at corpus
+    * scale the driver collect is the bottleneck (and an OOM risk).
+    * The distributed `HAVING sum(n) >= 2` produces the exact same model
+    * as the old collect-then-pruned(2), so classifier accuracy is
+    * unchanged (pinned by SparkParitySpec). categoryTermCounts is
+    * computed BEFORE the prune (totals over all term occurrences), also
+    * matching the old semantics.
     */
   def train(turns: Dataset[Turn]): DictModel = {
     val spark = turns.sparkSession
     import spark.implicits._
-    val termCounts = turns
+    val tc = turns
       .flatMap(t => NGrams.terms(t.text, fs).map(term => (term, t.role)))
-      .groupByKey(identity).count()
-      .collect()
+      .toDF("term", "cat")
+      .groupBy(col("term"), col("cat")).agg(count(lit(1)).as("n"))
+      .cache()
+    val catTerms = tc.groupBy(col("cat")).agg(sum(col("n")).as("tot"))
+      .as[(String, Long)].collect().toMap
+    val kept = tc
+      .withColumn("tot", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+      .where(col("tot") >= 2)
+      .select(col("term"), col("cat"), col("n"))
+      .as[(String, String, Long)].collect()
+    tc.unpersist()
     val docCounts = turns.groupByKey(_.role).count().collect()
-    val dict = termCounts.groupBy(_._1._1).map { case (term, xs) =>
-      term -> xs.map { case ((_, cat), n) => cat -> n.toInt }.toMap
+    val dict = kept.groupBy(_._1).map { case (term, xs) =>
+      term -> xs.map { case (_, cat, n) => cat -> n.toInt }.toMap
     }
-    val catTerms = termCounts.groupBy(_._1._2).map { case (c, xs) => c -> xs.map(_._2).sum }
-    // prune singleton terms before broadcast (SURVEY.md §2 row 13 wired
-    // into the pipeline: bounds the broadcast model size at corpus scale)
-    DictModel(dict, docCounts.toMap, catTerms, docCounts.map(_._2).sum).pruned(2)
+    DictModel(dict, docCounts.toMap, catTerms, docCounts.map(_._2).sum)
   }
 
   /** Shuffle-free scoring pass. */

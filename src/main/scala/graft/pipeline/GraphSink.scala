@@ -67,14 +67,25 @@ object GraphSink {
       approx_count_distinct(col("conv_id")).as("convs"))
 
     // repartition by the partition column first: one file per bucket
-    // instead of (#tasks × #buckets) fragments
+    // instead of (#tasks × #buckets) fragments.
+    // DYNAMIC partition overwrite (not Append): a crash AFTER the parquet
+    // job commit but BEFORE the manifest rename would otherwise leave a
+    // committed-but-unmanifested bucket that the resumed run re-appends,
+    // silently duplicating every row in it (the manifest would then
+    // describe one copy while the data holds two). With dynamic
+    // overwrite, re-processing a pending bucket REPLACES its partition
+    // directory, so the write is idempotent and the manifest rename stays
+    // the single commit point.
     observed.repartition(col("conv_bucket")).write
-      .mode(SaveMode.Append)
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("conv_bucket")
       .parquet(s"$outDir/triples")
 
-    val rows = obs.get("rows").asInstanceOf[Long]
-    val convs = obs.get("convs").asInstanceOf[Long]
+    // an all-buckets-done resume writes zero partitions: the observed
+    // plan then reports no metrics at all — treat as 0, don't throw
+    val rows = scala.util.Try(obs.get("rows").asInstanceOf[Long]).getOrElse(0L)
+    val convs = scala.util.Try(obs.get("convs").asInstanceOf[Long]).getOrElse(0L)
 
     // per-bucket manifest: rows + order-independent content fingerprint
     val perBucket = bucketed(resolvedTriples, nBuckets)

@@ -17,6 +17,40 @@ object CatalogCore {
 
   private def t(s: SparkSession, d: String, n: String) = s.read.parquet(s"$d/$n.parquet")
 
+  /** Exact global NTILE(k) without the single-task `Window.orderBy()`:
+    * range-partition by the sort key, sort within partitions, then
+    * `rdd.zipWithIndex` (one light job for per-partition counts, then a
+    * narrow map attaching offsets) gives a distributed global rank; the
+    * standard NTILE bucket formula maps rank → bucket. Every stage
+    * scales with partitions. RDD use is deliberate and contained here:
+    * Catalyst has no distributed global row-number (SURVEY.md §4.3(d)).
+    * Result is pinned to DuckDB's `ntile(k) OVER (ORDER BY ...)` by the
+    * r_ntile oracle.
+    */
+  private def globalNtile(
+      df: DataFrame, k: Int, sortCols: Seq[org.apache.spark.sql.Column],
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val sorted = df.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val withIdx = sorted.rdd.zipWithIndex()
+    val n = withIdx.count()
+    val big = n % k            // first `big` buckets hold (n/k + 1) rows
+    val sizeBig = n / k + 1
+    val cutoff = big * sizeBig
+    val sizeSmall = n / k
+    val bucketed = withIdx.map { case (row, r0) =>
+      val b =
+        if (r0 < cutoff) r0 / sizeBig + 1
+        else big + (r0 - cutoff) / sizeSmall + 1
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ b.toInt)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol, org.apache.spark.sql.types.IntegerType))
+    spark.createDataFrame(bucketed, schema)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 style pricing aggregate: partial+final hash agg, pruned scan
     "r_pricing_agg" -> ((s, d) => t(s, d, "lineitem")
@@ -50,9 +84,12 @@ object CatalogCore {
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
       .orderBy(col("c_nationkey"))),
 
-    // left anti: customers with no orders
+    // left anti: customers with no URGENT order (every customer has SOME
+    // order in the testdata, so the plain variant proved nothing — this
+    // one returns non-trivial rows at sf0.01)
     "r_anti_join" -> ((s, d) => t(s, d, "customer")
-      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(t(s, d, "orders").where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))),
 
@@ -92,12 +129,15 @@ object CatalogCore {
       .orderBy(col("flag"), col("status"))),
 
     // set ops: nations having customers INTERSECT nations having suppliers,
-    // then EXCEPT those with > 8 customers
+    // then EXCEPT nations with an above-average customer count (the
+    // threshold is data-relative so the result is non-trivial at any sf)
     "r_setops" -> ((s, d) => {
       val c = t(s, d, "customer").select(col("c_nationkey").as("nk")).distinct()
       val su = t(s, d, "supplier").select(col("s_nationkey").as("nk")).distinct()
-      val big = t(s, d, "customer").groupBy(col("c_nationkey").as("nk"))
-        .agg(count(lit(1)).as("n")).where(col("n") > 8).select(col("nk"))
+      val perNation = t(s, d, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n"))
+      val avgN = perNation.agg(avg(col("n"))).first().getDouble(0)
+      val big = perNation.where(col("n") > avgN).select(col("nk"))
       c.intersect(su).except(big).orderBy(col("nk"))
     }),
 
@@ -160,15 +200,20 @@ object CatalogCore {
         .orderBy(col("o_orderstatus"))
     }),
 
-    // range/interval join: events within 7 days after an order by the
-    // same key (interval-overlap shape, SURVEY.md §2 rows 38/49)
+    // range/interval join (SURVEY.md §2 rows 38/49): follow-up events
+    // within 10 minutes of an earlier event by the same user — a genuine
+    // interval self-join bounded by the equi key (user_id), returning
+    // non-trivial rows at every sf (the old orders×events variant had
+    // disjoint date ranges and always returned 0)
     "r_range_join" -> ((s, d) => {
-      val e = t(s, d, "events").where(col("user_id") < 50)
-      val o = t(s, d, "orders").where(col("o_custkey") < 50)
-      e.join(o, col("user_id") === col("o_custkey") &&
-          col("ts") >= col("o_orderdate") && col("ts") < col("o_orderdate") + expr("INTERVAL 7 DAYS"))
-        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_hits"))
-        .orderBy(col("o_orderpriority"))
+      val e = t(s, d, "events").where(col("user_id") < 20)
+      e.as("a").join(e.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.ts") > col("a.ts") &&
+            col("b.ts") <= col("a.ts") + expr("INTERVAL 10 MINUTES"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_followups"))
+        .orderBy(col("event_type"))
     }),
 
     // as-of: latest event per user at or before a cutoff
@@ -192,12 +237,31 @@ object CatalogCore {
         .orderBy(col("user_id"))
     }),
 
-    // ntile quartiles over account balances
-    "r_ntile" -> ((s, d) => t(s, d, "customer")
-      .withColumn("quartile", ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))))
+    // ntile quartiles over account balances — computed via the
+    // distributed global-rank path (globalNtile below), NOT a
+    // Window.orderBy with no partitionBy (that is a single-task global
+    // sort: fine at sf0.1, a one-task driver at 100×). The oracle pins
+    // the result to DuckDB's ntile(4), proving the distributed
+    // computation matches standard NTILE semantics exactly.
+    "r_ntile" -> ((s, d) => globalNtile(
+        t(s, d, "customer").select(col("c_acctbal"), col("c_custkey")),
+        4, Seq(col("c_acctbal"), col("c_custkey")), "quartile")
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"), round(avg(col("c_acctbal")), 4).as("avg_bal"))
       .orderBy(col("quartile"))),
+
+    // GROUPING SETS (SURVEY.md §2 row 57, alongside rollup/cube): two
+    // independent one-dimensional summaries in one pass
+    "r_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS priority,
+          |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          |ORDER BY status, priority""".stripMargin)
+    }),
 
     // manual pivot via conditional aggregation
     "r_pivot_status_priority" -> ((s, d) => t(s, d, "orders")
@@ -248,7 +312,8 @@ object CatalogCore {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "r_anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY 1""".stripMargin,
     "r_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
@@ -276,7 +341,9 @@ object CatalogCore {
       """SELECT nk FROM (
         |  SELECT DISTINCT c_nationkey AS nk FROM customer
         |  INTERSECT SELECT DISTINCT s_nationkey FROM supplier
-        |  EXCEPT SELECT c_nationkey FROM customer GROUP BY 1 HAVING count(*) > 8
+        |  EXCEPT SELECT c_nationkey FROM customer GROUP BY 1
+        |    HAVING count(*) > (SELECT avg(n) FROM (
+        |      SELECT count(*) AS n FROM customer GROUP BY c_nationkey))
         |) ORDER BY nk""".stripMargin,
     "r_stats" ->
       """SELECT l_returnflag, round(min(l_extendedprice), 2) AS min_price,
@@ -288,8 +355,12 @@ object CatalogCore {
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         |round(quantile_cont(o_totalprice, 0.9), 4) AS p90
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CAST the sum: DuckDB sum(INT) yields HUGEINT (int128 → float64 in
+    // pandas) while Spark yields BIGINT — the driver's value hash treats
+    // 5.0 and 5 as different. Same for every summed-int oracle below.
     "r_json_extract" ->
-      """SELECT event_type, sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS k_sum,
+      """SELECT event_type,
+        |CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS k_sum,
         |count(*) AS n FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "r_date_parts" ->
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, count(*) AS n_orders
@@ -308,10 +379,10 @@ object CatalogCore {
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "r_range_join" ->
-      """SELECT o_orderpriority, count(*) AS n_hits
-        |FROM events JOIN orders ON user_id = o_custkey
-        |  AND ts >= o_orderdate AND ts < o_orderdate + INTERVAL 7 DAY
-        |WHERE user_id < 50 AND o_custkey < 50
+      """SELECT a.event_type, count(*) AS n_followups
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |WHERE a.user_id < 20 AND b.user_id < 20
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "r_asof_latest" ->
       """SELECT user_id, event_id, event_type FROM (
@@ -320,7 +391,7 @@ object CatalogCore {
         |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
         |WHERE rk = 1 ORDER BY user_id""".stripMargin,
     "r_sessionize" ->
-      """SELECT user_id, sum(new_session) + 1 AS n_sessions, count(*) AS n_events FROM (
+      """SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id,
         |  CASE WHEN epoch(ts) - epoch(coalesce(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)) > 1800
         |  THEN 1 ELSE 0 END AS new_session
@@ -331,10 +402,16 @@ object CatalogCore {
         |  FROM customer) GROUP BY 1 ORDER BY 1""".stripMargin,
     "r_pivot_status_priority" ->
       """SELECT o_orderstatus,
-        |sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
-        |sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
-        |sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS other
+        |CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+        |CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+        |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS other
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |coalesce(o_orderpriority, 'ALL') AS priority,
+        |count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY 1, 2""".stripMargin,
     "r_count_distinct" ->
       """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
         |count(DISTINCT l_orderkey) AS n_orders

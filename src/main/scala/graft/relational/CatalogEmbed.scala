@@ -19,6 +19,75 @@ object CatalogEmbed {
 
   private val quantize = "transform(embedding, x -> round(cast(x as double) * 1000))"
 
+  /** Per-bucket membership cap: buckets above the cap are excluded from
+    * the join (with a count) — the candidateEdges pattern, so a
+    * degenerate hot bucket cannot go quadratic at scale.
+    */
+  val MAX_ANN_BUCKET = 256
+
+  /** Hyperplane count scales with corpus size — target ~TARGET_BUCKET
+    * vectors per bucket (8 planes for the 500-vector testdata; ~24 for
+    * 10^9 vectors). A fixed plane count either over-shards small sets
+    * (recall collapse) or under-shards huge ones (quadratic buckets).
+    */
+  val TARGET_BUCKET = 64
+  def planesFor(n: Long): Int =
+    math.max(8, math.ceil(math.log(math.max(1.0, n.toDouble / TARGET_BUCKET)) / math.log(2.0)).toInt)
+
+  private def planesExpr(n: Int): String =
+    s"transform(sequence(0, ${n - 1}), p -> " +
+      "aggregate(zip_with(v, sequence(0, size(v) - 1), (x, i) -> " +
+      "CASE WHEN pmod(xxhash64(i, p), 2) = 0 THEN x ELSE -x END), 0D, (a, z) -> a + z))"
+
+  private def bucketExpr(n: Int): String =
+    s"aggregate(zip_with(${planesExpr(n)}, sequence(0, ${n - 1}), (s, p) -> " +
+      "CASE WHEN s > 0 THEN shiftleft(1L, p) ELSE 0L END), 0L, (a, z) -> a + z)"
+
+  /** LSH ANN over (vec_id, v:array<double>): adaptive-width sign-bit
+    * code (planesFor), multi-probe (home bucket + all single-bit flips),
+    * per-bucket cap, exact-dot top-k within the probed buckets. Exposed
+    * for the recall gate (AnnRecallSpec) to run on fixture data.
+    */
+  def annLsh(vecs: DataFrame, probeMax: Int = 20, k: Int = 3, nPlanes: Int = 0): DataFrame = {
+    val planes = if (nPlanes > 0) nPlanes else planesFor(vecs.count())
+    val bucketed = vecs.withColumn("bucket", expr(bucketExpr(planes)))
+    val candAll = bucketed.where(col("vec_id") >= probeMax)
+    val hot = candAll.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > MAX_ANN_BUCKET)
+    val cands = candAll.join(broadcast(hot.select(col("bucket"))), Seq("bucket"), "left_anti")
+    val probes = bucketed.where(col("vec_id") < probeMax)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        explode(expr("array_union(array(bucket), " +
+          s"transform(sequence(0, ${planes - 1}), p -> bucket ^ shiftleft(1L, p)))")).as("bucket"))
+    probes.join(cands, Seq("bucket"))
+      .withColumn("dot", round(expr("aggregate(zip_with(pv, v, (x, y) -> x * y), 0D, (a, z) -> a + z)"), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("dot").desc, col("vec_id"))))
+      .where(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("dot"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs over (vec_id, v): sign-bit
+    * LSH bucket join (capped) + exact cosine residual >= `minCos`.
+    * Exposed for CosineDupeSpec to run on fixture data.
+    */
+  def cosineDupes(vecs: DataFrame, minCos: Double = 0.9): DataFrame = {
+    val withNorm = vecs.withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      .withColumn("bucket", expr(bucketExpr(8)))
+    val hot = withNorm.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > MAX_ANN_BUCKET)
+    val cold = withNorm.join(broadcast(hot.select(col("bucket"))), Seq("bucket"), "left_anti")
+    cold.as("a").join(cold.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
+          (col("a.nrm") * col("b.nrm")), 6))
+      .where(col("cos") >= minCos)
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("dup_id"), col("cos"))
+      .orderBy(col("keep_id"), col("dup_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ORACLED: top-5 neighbors per probe by integer-quantized dot product
     "e_knn_quantized" -> ((s, d) => {
@@ -53,28 +122,16 @@ object CatalogEmbed {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
-    // LSH-bucketed ANN scale path: sign-bit bucket over 8 pseudo-random
-    // hyperplanes (deterministic ±1 weights from xxhash64), then top-k
-    // within bucket only — the shuffle-bounded variant (rows-only)
-    "e_ann_lsh" -> ((s, d) => {
-      val v = emb(s, d).select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val planes = "transform(sequence(0, 7), p -> " +
-        "aggregate(zip_with(v, sequence(0, size(v) - 1), (x, i) -> " +
-        "CASE WHEN pmod(xxhash64(i, p), 2) = 0 THEN x ELSE -x END), 0D, (a, z) -> a + z))"
-      val bucketed = v.withColumn("bucket",
-        expr(s"aggregate(zip_with($planes, sequence(0, 7), (s, p) -> " +
-          "CASE WHEN s > 0 THEN shiftleft(1L, p) ELSE 0L END), 0L, (a, z) -> a + z)"))
-      val a = bucketed.select(col("bucket"), col("vec_id").as("probe_id"), col("v").as("pv"))
-        .where(col("probe_id") < 20)
-      a.join(bucketed.where(col("vec_id") >= 20), Seq("bucket"))
-        .withColumn("dot", round(expr("aggregate(zip_with(pv, v, (x, y) -> x * y), 0D, (a, z) -> a + z)"), 6))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("probe_id")).orderBy(col("dot").desc, col("vec_id"))))
-        .where(col("rk") <= 3)
-        .select(col("probe_id"), col("bucket"), col("rk"), col("vec_id").as("neighbor_id"), col("dot"))
-        .orderBy(col("probe_id"), col("rk"))
-    }),
+    // LSH-bucketed ANN scale path (rows-only): sign-bit bucket over 16
+    // pseudo-random hyperplanes (deterministic ±1 weights from xxhash64)
+    // with MULTI-PROBE — each probe searches its home bucket plus the 16
+    // single-bit-flip neighbor buckets, recovering the recall a 16-bit
+    // code alone would lose — and a per-bucket membership cap (counted
+    // via anti-join, not silent) so a degenerate hot bucket can never go
+    // quadratic at scale. Recall vs the exact KNN baseline is gated by
+    // AnnRecallSpec (>= 0.9 on a planted-neighbor fixture).
+    "e_ann_lsh" -> ((s, d) => annLsh(emb(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v")))),
 
     // ORACLED: embedding label centroids on quantized components
     "e_label_centroids" -> ((s, d) => emb(s, d)
@@ -85,27 +142,23 @@ object CatalogEmbed {
       .orderBy(col("label"), col("dim"))),
 
     // embedding-cosine near-duplicate detection (builder prompt dedup
-    // family): candidate pairs bounded by a sign-bit LSH bucket, exact
-    // cosine as the residual predicate — the scale path for embedding
-    // dedup (bucket join, no all-pairs). Rows-only (float math).
+    // family): candidate pairs bounded by a capped sign-bit LSH bucket
+    // join, exact cosine as the residual predicate — the scale path for
+    // embedding dedup (no all-pairs). Rows-only (float math).
+    // The input is the embeddings table PLUS planted near-duplicates:
+    // the testdata's max off-diagonal cosine is 0.51, so without planted
+    // rows this operator had never returned a row (r1: vacuously
+    // "correct"). Ten deterministic perturbed copies of vec_id < 10
+    // (ids +100000, component noise ±1% from xxhash64) sit at cosine
+    // ≈ 0.999 to their sources; finding them proves the path end-to-end.
     "e_cosine_dupes" -> ((s, d) => {
-      val v = emb(s, d).select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
-      val planes = "transform(sequence(0, 7), p -> " +
-        "aggregate(zip_with(v, sequence(0, size(v) - 1), (x, i) -> " +
-        "CASE WHEN pmod(xxhash64(i, p), 2) = 0 THEN x ELSE -x END), 0D, (a, z) -> a + z))"
-      val bucketed = v.withColumn("bucket",
-        expr(s"aggregate(zip_with($planes, sequence(0, 7), (s, p) -> " +
-          "CASE WHEN s > 0 THEN shiftleft(1L, p) ELSE 0L END), 0L, (a, z) -> a + z)"))
-      bucketed.as("a").join(bucketed.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", round(
-          expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
-            (col("a.nrm") * col("b.nrm")), 6))
-        .where(col("cos") >= 0.9)
-        .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("dup_id"), col("cos"))
-        .orderBy(col("keep_id"), col("dup_id"))
+      val base = emb(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val planted = base.where(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          expr("zip_with(v, sequence(0, size(v) - 1), (x, i) -> " +
+            "x + 0.02 * (pmod(xxhash64(i, vec_id), 100) / 100.0 - 0.5))").as("v"))
+      cosineDupes(base.unionByName(planted), 0.9)
     }),
 
     // KNN classifier baseline (SURVEY.md §2 row 41): majority label of

@@ -21,6 +21,11 @@ object CatalogText {
   private val stops = Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
   private val stopsSqlList = stops.map(w => s"'$w'").mkString(", ")
 
+  /** Per-(band,bucket) membership cap for the LSH self-join — buckets
+    * above this are excluded (with a count) instead of joined all-pairs.
+    */
+  val MAX_LSH_BUCKET = 64
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------ dedup family
     // exact dedup via content hash: keeper = min doc_id per text
@@ -31,9 +36,12 @@ object CatalogText {
       .agg(count(lit(1)).as("n_groups"))
       .orderBy(col("n_copies"))),
 
-    // word-3-gram shingle Jaccard near-dup pairs (blocked to doc_id<200)
+    // word-3-gram shingle Jaccard near-dup pairs (blocked to doc_id<200).
+    // The size >= 3 guard matters: Spark's sequence(0, n-3) DESCENDS for
+    // docs under 3 words ([0,-1]) and the slice() then throws at runtime.
     "t_ngram_jaccard" -> ((s, d) => {
       val sh = docs(s, d).where(col("doc_id") < 200)
+        .where(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(split(text, ' ')) - 3), " +
             "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))")).as("shingle"))
@@ -54,23 +62,36 @@ object CatalogText {
 
     // MinHash + LSH banding (16 hashes, 4 bands × 4 rows) — candidate
     // near-dup pairs via bucket join; rows-only (xxhash64 has no DuckDB
-    // twin). Plan shape: ONE hash aggregation computes all 16 signature
-    // mins as separate agg functions (no 16× posexplode row blowup),
-    // then stack() unpivots the 4 band buckets — one shuffle over docs.
+    // twin). Plan shape: signatures are computed PER ROW with array
+    // transforms (sig[k] = array_min of xxhash64(shingle, k)) — zero
+    // explode, zero shuffle for the signature stage (the r1 version
+    // exploded ~shingles×docs rows through a 16-way hash agg: 35 s at
+    // sf0.1). stack() then unpivots the 4 band buckets, and the bucket
+    // self-join is CAPPED: buckets above MAX_LSH_BUCKET members are
+    // excluded via broadcast anti-join (counted, not silent) — a hot
+    // bucket (degenerate shingle signatures on near-empty docs) would
+    // otherwise go quadratic at 100 TB. Mirrors KgPipeline.candidateEdges.
     "t_minhash_lsh" -> ((s, d) => {
-      val sh = docs(s, d)
-        .select(col("doc_id"), explode(expr(
+      val withShingles = docs(s, d)
+        .where(size(split(col("text"), " ")) >= 3) // sequence(0,n-3) descends below 3 words
+        .withColumn("shingles", expr(
           "transform(sequence(0, size(split(text, ' ')) - 3), " +
-            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))")).as("shingle"))
-      val aggCols = (0 until 16).map(i => min(expr(s"xxhash64(shingle, $i)")).as(s"h$i"))
-      val sigs = sh.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"))
+      val sigCols = (0 until 16).map(k =>
+        expr(s"array_min(transform(shingles, sh -> xxhash64(sh, $k)))").as(s"h$k"))
+      val sigs = withShingles.select(col("doc_id") +: sigCols: _*)
       val bandExprs = (0 until 4).map { b =>
         val hs = (0 until 4).map(j => s"h${b * 4 + j}").mkString(", ")
         s"$b, xxhash64(CAST($b AS BIGINT), $hs)"
       }.mkString(", ")
       val bands = sigs.select(col("doc_id"),
         expr(s"stack(4, $bandExprs) AS (band, bucket)"))
-      bands.as("a").join(bands.as("b"),
+      val hot = bands.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .where(col("bucket_n") > MAX_LSH_BUCKET)
+      val cold = bands.join(broadcast(hot.select(col("band"), col("bucket"))),
+        Seq("band", "bucket"), "left_anti")
+      cold.as("a").join(cold.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.band") === col("b.band") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -211,7 +232,79 @@ object CatalogText {
     "t_zeror" -> ((s, d) => docs(s, d)
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("source"))
-      .limit(1))
+      .limit(1)),
+
+    // Information-gain feature ranking (SURVEY.md §2 row 40, the second
+    // ranker beside χ²): IG(term) = H(C) - [P(t)H(C|t) + P(¬t)H(C|¬t)]
+    // over doc-presence counts vs `source`. The (term × class) grid is
+    // completed (absent classes count 0) so the ¬t side is exact.
+    "t_infogain_terms" -> ((s, d) => {
+      val n = docs(s, d).count().toDouble
+      val dt = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(expr("filter(split(text, ' '), x -> x <> '')"))).as("term"))
+      val obs = dt.groupBy(col("term"), col("source")).agg(count(lit(1)).as("o"))
+      val catTot = docs(s, d).groupBy(col("source")).agg(count(lit(1)).as("ct"))
+      val grid = obs.select(col("term")).distinct().crossJoin(catTot)
+      val full = grid.join(obs, Seq("term", "source"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+      val nt = full.groupBy(col("term")).agg(sum(col("o")).as("nt"))
+      // H(C): class entropy (constant across terms)
+      val hC = catTot.select(col("ct")).collect()
+        .map(_.getLong(0) / n).map(p => -p * math.log(p)).sum
+      full.join(nt, "term")
+        .withColumn("pos", when(col("o") > 0,
+          col("o") * log(col("o") / col("nt"))).otherwise(lit(0.0)))
+        .withColumn("neg", when(col("ct") - col("o") > 0,
+          (col("ct") - col("o")) * log((col("ct") - col("o")) / (lit(n) - col("nt")))).otherwise(lit(0.0)))
+        .groupBy(col("term"))
+        .agg(round(lit(hC) + (sum(col("pos")) + sum(col("neg"))) / lit(n), 6).as("ig"))
+        .orderBy(col("term"))
+    }),
+
+    // Char-ngram dictionary language classifier (SURVEY.md §2 row 14's
+    // real design — the stopword heuristic in t_lang_confusion is the
+    // fallback). Multinomial NB over char-3-gram counts, trained on even
+    // doc_ids, scored on odd ones; emitted as a confusion matrix. Scores
+    // are rounded to 6 decimals BEFORE the argmax so cross-engine float
+    // summation order cannot flip the predicted class. (This testdata
+    // carries no real language signal — word distributions are uniform
+    // across `lang` — so accuracy here is chance; LangNgramSpec proves
+    // classifier accuracy on a corpus with actual per-language character
+    // distributions, where it beats the stopword heuristic.)
+    "t_lang_ngram" -> ((s, d) => {
+      val grams = docs(s, d)
+        .where(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+      val train = grams.where(col("doc_id") % 2 === 0)
+      val test = grams.where(col("doc_id") % 2 === 1)
+        .groupBy(col("doc_id"), col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
+      val model = train.groupBy(col("g").as("m_g"), col("lang").as("mm_lang"))
+        .agg(count(lit(1)).as("n"))
+      val tot = model.groupBy(col("mm_lang").as("tt_lang")).agg(sum(col("n")).as("tot"))
+      val v = model.select(col("m_g")).distinct().count().toDouble
+      val trainDocs = docs(s, d).where(col("doc_id") % 2 === 0)
+        .groupBy(col("lang").as("m_lang")).agg(count(lit(1)).as("n_docs"))
+      val trainN = docs(s, d).where(col("doc_id") % 2 === 0).count().toDouble
+      val scored = test
+        .crossJoin(broadcast(trainDocs)) // score every test doc against every lang
+        .join(model, col("g") === col("m_g") && col("m_lang") === col("mm_lang"), "left")
+        .withColumn("n_s", coalesce(col("n"), lit(0L)))
+        .join(broadcast(tot), col("m_lang") === col("tt_lang"))
+        .withColumn("term_ll", col("cnt") * log((col("n_s") + 1.0) / (col("tot") + lit(v))))
+        .groupBy(col("doc_id"), col("lang"), col("m_lang"), col("n_docs"))
+        .agg(sum(col("term_ll")).as("ll"))
+        .withColumn("score", round(log(col("n_docs") / lit(trainN)) + col("ll"), 6))
+      import org.apache.spark.sql.expressions.Window
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("m_lang"))))
+        .where(col("rk") === 1)
+        .groupBy(col("lang"), col("m_lang").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -252,7 +345,7 @@ object CatalogText {
          |      FROM documents WHERE doc_id < 300)
          |ORDER BY doc_id""".stripMargin,
     "t_token_stats" ->
-      """SELECT source, sum(n_toks) AS total_tokens, round(avg(n_toks), 4) AS avg_tokens,
+      """SELECT source, CAST(sum(n_toks) AS BIGINT) AS total_tokens, round(avg(n_toks), 4) AS avg_tokens,
         |count(*) AS n_docs FROM (
         |  SELECT source, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks
         |  FROM documents)
@@ -284,7 +377,8 @@ object CatalogText {
          |len(list_filter(string_split(text, ' '), x -> x <> '' AND NOT x IN ($stopsSqlList))) AS n_after
          |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
     "t_fold_split" ->
-      """SELECT CAST(doc_id % 5 AS INT) AS fold, count(*) AS n, sum(n_chars) AS chars
+      """SELECT CAST(doc_id % 5 AS INT) AS fold, count(*) AS n,
+        |CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_chi2_terms" ->
       """WITH dt AS (
@@ -300,6 +394,54 @@ object CatalogText {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_zeror" ->
       """SELECT source, count(*) AS n FROM documents GROUP BY 1
-        |ORDER BY n DESC, source LIMIT 1""".stripMargin
+        |ORDER BY n DESC, source LIMIT 1""".stripMargin,
+    "t_infogain_terms" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |obs AS (SELECT term, source, count(*) AS o FROM dt GROUP BY 1, 2),
+        |ct AS (SELECT source, count(*) AS ct FROM documents GROUP BY 1),
+        |nn AS (SELECT count(*) * 1.0 AS n FROM documents),
+        |grid AS (SELECT t.term, c.source, c.ct
+        |         FROM (SELECT DISTINCT term FROM obs) t CROSS JOIN ct c),
+        |fullg AS (
+        |  SELECT g.term, g.source, g.ct, coalesce(o.o, 0) AS o
+        |  FROM grid g LEFT JOIN obs o ON g.term = o.term AND g.source = o.source),
+        |nt AS (SELECT term, sum(o) AS nt FROM fullg GROUP BY 1),
+        |hc AS (SELECT -sum((ct / nn.n) * ln(ct / nn.n)) AS hc FROM ct, nn)
+        |SELECT f.term,
+        |  round(hc.hc + (sum(CASE WHEN f.o > 0 THEN f.o * ln(f.o / nt.nt) ELSE 0 END)
+        |    + sum(CASE WHEN f.ct - f.o > 0
+        |          THEN (f.ct - f.o) * ln((f.ct - f.o) / (nn.n - nt.nt)) ELSE 0 END)) / nn.n, 6) AS ig
+        |FROM fullg f JOIN nt ON f.term = nt.term CROSS JOIN nn CROSS JOIN hc
+        |GROUP BY f.term, hc.hc, nn.n
+        |ORDER BY f.term""".stripMargin,
+    "t_lang_ngram" ->
+      """WITH grams AS (
+        |  SELECT doc_id, lang, substring(text, i, 3) AS g
+        |  FROM documents, unnest(generate_series(1, length(text) - 2)) AS t(i)
+        |  WHERE length(text) >= 3),
+        |test AS (SELECT doc_id, lang, g, count(*) AS cnt FROM grams WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+        |model AS (SELECT g AS m_g, lang AS mm_lang, count(*) AS n FROM grams WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |tot AS (SELECT mm_lang AS tt_lang, sum(n) AS tot FROM model GROUP BY 1),
+        |v AS (SELECT count(DISTINCT m_g) * 1.0 AS v FROM model),
+        |train_docs AS (SELECT lang AS m_lang, count(*) AS n_docs FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |train_n AS (SELECT count(*) * 1.0 AS tn FROM documents WHERE doc_id % 2 = 0),
+        |scored AS (
+        |  SELECT t.doc_id, t.lang, td.m_lang, td.n_docs,
+        |    sum(t.cnt * ln((coalesce(m.n, 0) + 1.0) / (tot.tot + v.v))) AS ll
+        |  FROM test t CROSS JOIN train_docs td CROSS JOIN v
+        |  LEFT JOIN model m ON t.g = m.m_g AND td.m_lang = m.mm_lang
+        |  JOIN tot ON td.m_lang = tot.tt_lang
+        |  GROUP BY 1, 2, 3, 4),
+        |finals AS (
+        |  SELECT doc_id, lang, m_lang, round(ln(n_docs / tn) + ll, 6) AS score
+        |  FROM scored CROSS JOIN train_n),
+        |ranked AS (
+        |  SELECT doc_id, lang, m_lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, m_lang) AS rk
+        |  FROM finals)
+        |SELECT lang, m_lang AS pred_lang, count(*) AS n
+        |FROM ranked WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -36,23 +36,38 @@ object CatalogUdf {
           |FROM (SELECT explode(split(text, ' ')) AS term FROM documents_v)
           |WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin)
     }),
+    // date parsing across FORMATS (SURVEY.md §2 row 25): each distinct
+    // order date rendered in 5 formats (ISO, European, US, month-name,
+    // bare year), parsed by pal_date_parse back to ISO+exactness. The
+    // DuckDB oracle computes the expected ISO instant from the source
+    // date per format — a genuine cross-engine parse check.
     "u_date_parse" -> ((s, d) => {
       withUdfs(s).read.parquet(s"$d/orders.parquet").createOrReplaceTempView("orders_v")
       s.sql(
-        """SELECT ds, pal_date_parse(ds) AS parsed FROM (
-          |  SELECT DISTINCT date_format(o_orderdate, 'yyyy-MM-dd') AS ds FROM orders_v)
-          |ORDER BY ds""".stripMargin)
+        """SELECT ds, fmt, pal_date_parse(ds) AS parsed FROM (
+          |  SELECT fmt, CASE fmt
+          |    WHEN 'iso' THEN date_format(dt, 'yyyy-MM-dd')
+          |    WHEN 'eu'  THEN date_format(dt, 'd.M.yyyy')
+          |    WHEN 'us'  THEN date_format(dt, 'M/d/yyyy')
+          |    WHEN 'mon' THEN date_format(dt, 'MMMM yyyy')
+          |    ELSE date_format(dt, 'yyyy') END AS ds
+          |  FROM (SELECT DISTINCT o_orderdate AS dt FROM orders_v)
+          |  LATERAL VIEW explode(array('iso', 'eu', 'us', 'mon', 'yr')) AS fmt)
+          |GROUP BY ds, fmt, parsed
+          |ORDER BY ds, fmt""".stripMargin)
     }),
     // regex taggers (SURVEY.md §2 rows 24/54): URL/date/smiley mention
-    // detection + prioritized union, over deterministic synthesized text
+    // detection + prioritized union, over deterministic synthesized text.
+    // Outputs stringified (array_join) — the driver's pandas-based verify
+    // harness cannot sort/hash ARRAY cells (r1 dump-err).
     "u_regex_taggers" -> ((s, d) => {
       withUdfs(s).read.parquet(s"$d/documents.parquet").createOrReplaceTempView("documents_v")
       s.sql(
         """SELECT doc_id,
-          |  pal_tag_urls(txt) AS urls,
-          |  pal_tag_dates(txt) AS dates,
-          |  pal_tag_smileys(txt) AS smileys,
-          |  pal_tag_all(txt) AS unioned
+          |  array_join(pal_tag_urls(txt), ' ; ') AS urls,
+          |  array_join(pal_tag_dates(txt), ' ; ') AS dates,
+          |  array_join(pal_tag_smileys(txt), ' ; ') AS smileys,
+          |  array_join(pal_tag_all(txt), ' ; ') AS unioned
           |FROM (
           |  SELECT doc_id, concat('ping https://kb.example.org/doc/', doc_id,
           |    ' :) on 2021-07-0', 1 + doc_id % 9, ' ok') AS txt
@@ -72,6 +87,42 @@ object CatalogUdf {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // DuckDB ships levenshtein + jaro_winkler_similarity natively, and
+    // the trigram-set Jaccard is expressible with list ops — so the whole
+    // similarity battery is cross-engine checked (r1 left it rows-only).
+    "u_similarity" ->
+      """WITH pairs AS (
+        |  SELECT a.n_name AS na, b.n_name AS nb
+        |  FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey),
+        |g AS (
+        |  SELECT na, nb,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(na) - 2, 0)),
+        |      i -> substring(na, i, 3))) AS ga,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(nb) - 2, 0)),
+        |      i -> substring(nb, i, 3))) AS gb
+        |  FROM pairs)
+        |SELECT na, nb,
+        |  levenshtein(na, nb) AS lev,
+        |  round(jaro_winkler_similarity(na, nb), 6) AS jw,
+        |  round(CASE WHEN len(ga) = 0 AND len(gb) = 0 THEN 1.0
+        |    ELSE len(list_distinct(list_intersect(ga, gb))) * 1.0 /
+        |      len(list_distinct(list_concat(ga, gb))) END, 6) AS tri
+        |FROM g ORDER BY na, nb""".stripMargin,
+    "u_date_parse" ->
+      """WITH dts AS (SELECT DISTINCT o_orderdate AS dt FROM orders),
+        |rendered AS (
+        |  SELECT fmt, CASE fmt
+        |    WHEN 'iso' THEN strftime(dt, '%Y-%m-%d')
+        |    WHEN 'eu'  THEN strftime(dt, '%-d.%-m.%Y')
+        |    WHEN 'us'  THEN strftime(dt, '%-m/%-d/%Y')
+        |    WHEN 'mon' THEN strftime(dt, '%B %Y')
+        |    ELSE strftime(dt, '%Y') END AS ds,
+        |  CASE fmt
+        |    WHEN 'mon' THEN strftime(date_trunc('month', dt), '%Y-%m-%dT00:00:00Z') || '|MONTH'
+        |    WHEN 'yr'  THEN strftime(date_trunc('year', dt), '%Y-%m-%dT00:00:00Z') || '|YEAR'
+        |    ELSE strftime(dt, '%Y-%m-%dT00:00:00Z') || '|DAY' END AS parsed
+        |  FROM dts, unnest(['iso', 'eu', 'us', 'mon', 'yr']) AS u(fmt))
+        |SELECT DISTINCT ds, fmt, parsed FROM rendered ORDER BY ds, fmt""".stripMargin,
     "u_tokenize_sql" ->
       """SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,

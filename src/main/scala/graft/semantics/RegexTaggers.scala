@@ -33,7 +33,22 @@ object RegexTaggers {
       Mention(s, e, text.substring(s, e), "DATE", 1.0)
     }
 
-  /** All regex-tagger mentions, overlap-resolved with priority URL > DATE > SMILEY. */
-  def tagAll(text: String): Array[Mention] =
-    StringTagger.removeOverlaps(tagUrls(text) ++ tagDates(text) ++ tagSmileys(text))
+  private val priority: Map[String, Int] = Map("URL" -> 0, "DATE" -> 1, "SMILEY" -> 2)
+
+  /** All regex-tagger mentions, overlap-resolved with explicit priority
+    * URL > DATE > SMILEY: any lower-priority span overlapping (even
+    * partially) a kept higher-priority span is dropped, so the union is
+    * overlap-free by construction — the invariant TripleAssembler
+    * requires. (StringTagger.removeOverlaps only drops fully-nested
+    * spans; a partial URL/DATE overlap would have survived it.)
+    */
+  def tagAll(text: String): Array[Mention] = {
+    val all = tagUrls(text) ++ tagDates(text) ++ tagSmileys(text)
+    if (all.length <= 1) return all
+    val byPriority = all.sortBy(m => (priority.getOrElse(m.tag, 9), m.start, -m.end))
+    val kept = new ArrayBuffer[Mention](all.length)
+    for (m <- byPriority)
+      if (!kept.exists(k => m.start < k.end && k.start < m.end)) kept += m
+    kept.sortBy(m => (m.start, -m.end)).toArray
+  }
 }

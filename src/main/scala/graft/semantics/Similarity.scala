@@ -30,6 +30,10 @@ object Similarity {
   }
 
   def jaroWinkler(a: String, b: String): Double = {
+    // null/empty short-circuit BEFORE the prefix loop: jaro() returns 1.0
+    // for both-null/both-empty, and the prefix computation would NPE on
+    // null inputs (reachable from SQL via pal_jaro_winkler on null rows)
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return jaro(a, b)
     val j = jaro(a, b)
     if (j <= 0.7) return j
     var prefix = 0

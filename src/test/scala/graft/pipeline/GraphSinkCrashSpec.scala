@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Crash-window resume test (ADVICE r1, high): a crash AFTER a bucket's
+  * parquet commit but BEFORE its manifest rename must NOT duplicate that
+  * bucket's rows on resume. With dynamic partition overwrite the
+  * re-written bucket REPLACES the stale files, so resumed output equals
+  * a clean one-shot write exactly.
+  */
+class GraphSinkCrashSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graphsink-crash")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def sampleTriples() = {
+    val spark2 = spark
+    import spark2.implicits._
+    (0 until 500).map { i =>
+      (s"c${i % 37}", i, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        s"subj$i", "mentions", s"obj${i % 11}")
+    }.toDF("conv_id", "turn_idx", "ts", "subj", "pred", "obj")
+  }
+
+  test("resume after crash between data commit and manifest rename does not duplicate rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_crash").toString
+    val triples = sampleTriples()
+    val nBuckets = 8
+
+    // full write (all manifests committed)
+    GraphSink.writeTriples(spark, triples, dir, nBuckets)
+    val clean = spark.read.parquet(s"$dir/triples")
+      .groupBy(col("conv_bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    // simulate the crash window: bucket data IS committed, manifest is NOT
+    val manifests = new java.io.File(s"$dir/_manifests").listFiles()
+      .filter(_.getName.startsWith("bucket-")).sortBy(_.getName)
+    val victim = manifests.head
+    val victimBucket = victim.getName.stripPrefix("bucket-").stripSuffix(".json").toInt
+    assert(victim.delete())
+
+    // resume: bucket `victimBucket` is pending again and gets re-written
+    GraphSink.writeTriples(spark, triples, dir, nBuckets)
+
+    val resumed = spark.read.parquet(s"$dir/triples")
+      .groupBy(col("conv_bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(resumed == clean,
+      s"resume duplicated rows: victim=$victimBucket clean=$clean resumed=$resumed")
+    // manifest restored and row count correct
+    val m = spark.read.json(s"$dir/_manifests")
+      .where(col("bucket") === victimBucket).select(col("rows")).first().getLong(0)
+    assert(m == clean(victimBucket))
+  }
+
+  test("clean partial-run resume still skips committed buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_partial").toString
+    val triples = sampleTriples()
+    val m1 = GraphSink.writeTriples(spark, triples, dir, 8)
+    assert(m1.buckets == 8 && m1.skippedBuckets == 0)
+    val m2 = GraphSink.writeTriples(spark, triples, dir, 8)
+    assert(m2.buckets == 0 && m2.skippedBuckets == 8 && m2.rows == 0L)
+  }
+}

@@ -59,11 +59,16 @@ class PlanSpec extends AnyFunSuite {
       scan.metadata("PushedFilters"))
   }
 
-  test("minhash avoids row-exploding signature generation") {
+  test("minhash avoids row-exploding signature generation and caps buckets") {
     val p = plan("t_minhash_lsh")
     assert(!p.contains("posexplode"))
-    // signature computed as 16 min aggregates in one pass
-    assert(p.contains("partial_min"))
+    // signatures are per-row array_min projections — no explode, no
+    // aggregation, no shuffle before the band stack
+    assert(p.contains("array_min"), p.take(2000))
+    // hot LSH buckets are excluded from the self-join via anti-join
+    // (the candidateEdges cap pattern — scale guard against quadratic
+    // degenerate buckets)
+    assert(p.contains("LeftAnti"), p.take(2000))
   }
 
   test("kg surface-node hot aggregation is hash-based") {

@@ -39,6 +39,17 @@ for name, sql in sorted(oracle.items()):
     if len(want) != len(got):
         fails.append((name, f"row count: duck={len(want)} spark={len(got)}"))
         continue
+    # dtype-KIND mismatch (int vs float/object) fails the driver's value
+    # hash even when values are numerically equal (e.g. DuckDB sum(INT)
+    # -> HUGEINT -> float64 vs Spark BIGINT) — flag it here too
+    kind_bad = None
+    for c, cg in zip(wc, gc):
+        kw, kg = want[c].dtype.kind, got[cg].dtype.kind
+        if kw != kg and {kw, kg} not in ({'i', 'u'},):
+            kind_bad = (c, want[c].dtype, got[cg].dtype); break
+    if kind_bad:
+        fails.append((name, f"dtype kind mismatch col {kind_bad[0]}: duck={kind_bad[1]} spark={kind_bad[2]}"))
+        continue
     bad = None
     for i in range(len(want)):
         for c, cg in zip(wc, gc):
