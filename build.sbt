@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 40g (box has 128 GiB): an 8g heap makes the allocation-heavy NLP
+  // stage GC-bound, which distorts scaling measurements (GC pauses cost
+  // k× more core-seconds at k-way parallelism) and slows every bench
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}",
 )

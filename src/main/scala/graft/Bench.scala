@@ -38,14 +38,30 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t) / 1e9
     }
-    val qs = (results :+ ("kg_flagship_build" -> flagshipSec))
-      .map { case (k, v) => "\"" + k + "\":" + v }
+
+    // scale exercise (VERDICT r1 item 3): 450k alias nodes / 2M triples
+    // force the >threshold code paths — iterative CC loop, salted
+    // resolve, block-overflow cap — that the sf corpus is too small to
+    // reach; iterations + overflow land in the JSON as evidence
+    val tS = System.nanoTime()
+    val scale = graft.pipeline.ScaleLinking.run(spark)
+    val scaleSec = (System.nanoTime() - tS) / 1e9
+
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // seconds at 3 decimals: keeps the whole line under the driver's
+    // stdout tail-capture window (r1's full-precision line was truncated
+    // -> BENCH_r01 parsed:null)
+    val qs = (results :+ ("kg_flagship_build" -> flagshipSec) :+ ("kg_scale_linking" -> scaleSec))
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + flagshipSec
+    val total = results.map(_._2).sum + flagshipSec + scaleSec
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""turns":$nTurns,"triples":$nTriples,"entities":$nEntities,""" +
-        s""""flagship_sec":$flagshipSec,"turns_per_sec":$turnsPerSec}""")
+        s""""flagship_sec":${r3(flagshipSec)},"turns_per_sec":${r3(turnsPerSec)},""" +
+        s""""scale_nodes":${scale.nodes},"scale_components":${scale.components},""" +
+        s""""scale_cc_iterations":${scale.ccIterations},"scale_overflow_blocks":${scale.overflowBlocks},""" +
+        s""""scale_resolved_with_id":${scale.resolvedWithId},"scale_triples":${scale.triples}}""")
     spark.stop()
   }
 }

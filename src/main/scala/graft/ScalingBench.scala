@@ -69,47 +69,62 @@ object ScalingBench {
     * CPU stealing (full-job wall-clock varies 2–6× run-to-run; see
     * BENCH/BASELINE.md), which fresh-JVM full-job measurements cannot.
     */
-  def stageMode(nConvs: Long, runsFile: java.nio.file.Path): Unit = {
-    val walls = scala.collection.mutable.Map.empty[Int, List[Double]].withDefaultValue(Nil)
-    var nTurns = 0L
-    for (round <- 1 to 3; cores <- Seq(4, 16)) {
-      val spark = SparkSession.builder()
-        .master(s"local[$cores]")
-        .appName(s"stage-$cores-$round")
-        .config("spark.sql.shuffle.partitions", cores)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
-      try {
-        import spark.implicits._
-        val labeled = Transcripts.generateLabeled(spark, nConvs).cache()
-        nTurns = labeled.count()
-        val model = NerTraining.trainAndBroadcast(spark, Transcripts.trainSplit(labeled))
-        val turns = labeled.map(r =>
-          graft.corpus.Turn(r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts))
-        // two measurements per session; keep the better (JIT-warm) one
-        for (rep <- 1 to 2) {
-          val t0 = System.nanoTime()
-          KgPipeline.tagTurns(turns, model).count()
-          val w = (System.nanoTime() - t0) / 1e9
-          walls(cores) = w :: walls(cores)
-          System.err.println(f"[scaling] stage round=$round cores=$cores rep=$rep wall=$w%.2f s")
-        }
-      } finally {
-        spark.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
+  def stageMode(nConvs: Long, lo: Int = 4, hi: Int = 16): Unit = {
+    // ONE local[16] JVM; parallelism is varied via the stage's partition
+    // count (shuffle.partitions drives the window exchange feeding the
+    // tag mapPartitions — N partitions = N concurrent tasks on a 16-slot
+    // executor). Interleaved rounds + min-per-level control for BOTH JIT
+    // warmup and this host's intermittent CPU steal (walls vary 2–6×;
+    // steal only ever inflates, so the min is a sound estimator).
+    // AQE partition coalescing is DISABLED: it silently merges the
+    // 16-partition level's post-shuffle partitions at this data size,
+    // which capped r1's measured speedup at ~1.95 (artifact said 0.49
+    // efficiency — an AQE measurement artifact, not a scaling property).
+    val spark = SparkSession.builder()
+      .master(s"local[$hi]")
+      .appName("stage-scaling")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      import spark.implicits._
+      val labeled = Transcripts.generateLabeled(spark, nConvs).cache()
+      val nTurns = labeled.count()
+      val model = NerTraining.trainAndBroadcast(spark, Transcripts.trainSplit(labeled))
+      val turns = labeled.map(r =>
+        graft.corpus.Turn(r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts))
+      def measure(parts: Int): Double = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val t0 = System.nanoTime()
+        KgPipeline.tagTurns(turns, model).count()
+        (System.nanoTime() - t0) / 1e9
       }
+      measure(hi) // JIT/cache warmup, discarded
+      val walls = scala.collection.mutable.Map(lo -> List.empty[Double], hi -> List.empty[Double])
+      for (round <- 1 to 5; parts <- Seq(lo, hi)) {
+        val w = measure(parts)
+        walls(parts) = w :: walls(parts)
+        System.err.println(f"[scaling] stage round=$round parts=$parts wall=$w%.2f s")
+      }
+      val wLo = walls(lo).min; val wHi = walls(hi).min
+      val eff = (wLo / wHi) / (hi.toDouble / lo)
+      def fmtList(xs: List[Double]) = xs.reverse.map(w => f"$w%.2f").mkString("[", ",", "]")
+      val json =
+        s"""{"metric":"stage_scaling_efficiency","value":$eff,"unit":"ratio",""" +
+          s""""protocol":"one local[$hi] JVM, NLP stage (window exchange + tag mapPartitions) at $lo vs $hi partitions, 5 interleaved rounds, min per level, AQE coalescing off",""" +
+          s""""n_cores":$lo,"n4_cores":$hi,""" +
+          s""""turns":$nTurns,"stage_wall_n_min":$wLo,"stage_wall_n4_min":$wHi,""" +
+          s""""walls_n":${fmtList(walls(lo))},"walls_n4":${fmtList(walls(hi))},""" +
+          s""""stage_turns_per_sec_n4":${nTurns / wHi},"speedup":${wLo / wHi}}"""
+      println(json)
+      Files.writeString(Paths.get("BENCH/stage_scaling.json"), json)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
     }
-    val lo = walls(4).min; val hi = walls(16).min
-    val eff = (lo / hi) / 4.0
-    val json =
-      s"""{"metric":"stage_scaling_efficiency","value":$eff,"unit":"ratio",""" +
-        s""""turns":$nTurns,"stage_wall_c4_min":$lo,"stage_wall_c16_min":$hi,""" +
-        s""""stage_turns_per_sec_c16":${nTurns / hi},"speedup_4_16":${lo / hi}}"""
-    println(json)
-    Files.writeString(Paths.get("BENCH/stage_scaling.json"), json)
   }
 
   def main(args: Array[String]): Unit = {
@@ -120,8 +135,18 @@ object ScalingBench {
     Files.createDirectories(Paths.get("BENCH"))
     val runsFile = Paths.get("BENCH/scaling_runs.jsonl")
 
-    if (args.nonEmpty && args(0) == "stage") {
-      stageMode(nConvs, runsFile)
+    // DEFAULT mode is the interleaved min-of-k stage protocol — the
+    // number it writes to BENCH/stage_scaling.json IS the recorded
+    // scaling artifact (VERDICT r1 item 2)
+    if (args.isEmpty || args(0) == "stage") {
+      // 4× more work than the full-job runs: the stage measurement needs
+      // the parallel fraction to dominate the ~1.4 s fixed per-job cost
+      // (scheduler + final agg), which otherwise caps measurable speedup
+      // at this corpus size regardless of the engine's scaling.
+      // Optional "stage <lo> <hi>" overrides the parallelism pair.
+      val lo = if (args.length > 1) args(1).toInt else 4
+      val hi = if (args.length > 2) args(2).toInt else lo * 4
+      stageMode(nConvs * 4, lo, hi)
       return
     }
 

@@ -28,10 +28,49 @@ object NativeFunctions {
   def caseSignature(s: UTF8String): UTF8String =
     UTF8String.fromString(StringOps.caseSignature(s.toString))
 
+  /** Winnowing fingerprint (document fingerprinting via rolling hash):
+    * 64-bit polynomial rolling hash over every WINDOW-char window (O(n),
+    * one multiply+add+subtract per char), fingerprint = min window hash.
+    * Structurally robust: a local edit changes only the windows covering
+    * it, so near-identical documents usually share the minimum. Single
+    * pass, no allocation — safe inside whole-stage codegen.
+    */
+  final val FP_WINDOW = 16
+  private final val FP_BASE = 1315423911L
+  // FP_BASE^(FP_WINDOW-1) for the rolling subtract, precomputed
+  private final val FP_POW: Long = {
+    var p = 1L; var i = 0
+    while (i < FP_WINDOW - 1) { p *= FP_BASE; i += 1 }
+    p
+  }
+
+  def winnowFingerprint(s: UTF8String): Long = {
+    val str = s.toString
+    val n = str.length
+    if (n == 0) return 0L
+    if (n <= FP_WINDOW) {
+      var h = 0L; var i = 0
+      while (i < n) { h = h * FP_BASE + str.charAt(i); i += 1 }
+      return h
+    }
+    var h = 0L
+    var i = 0
+    while (i < FP_WINDOW) { h = h * FP_BASE + str.charAt(i); i += 1 }
+    var min = h
+    while (i < n) {
+      h = (h - str.charAt(i - FP_WINDOW) * FP_POW) * FP_BASE + str.charAt(i)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
   def normalize_surface(c: Column): Column =
     GraftColumnBridge.column(NormalizeSurfaceExpr(GraftColumnBridge.expression(c)))
   def case_signature(c: Column): Column =
     GraftColumnBridge.column(CaseSignatureExpr(GraftColumnBridge.expression(c)))
+  def winnow_fp(c: Column): Column =
+    GraftColumnBridge.column(WinnowFingerprintExpr(GraftColumnBridge.expression(c)))
 
   /** SQL registration (native expressions, not UDFs). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -40,6 +79,8 @@ object NativeFunctions {
       exprs => NormalizeSurfaceExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("pal_case_signature_native",
       exprs => CaseSignatureExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("pal_winnow_fp",
+      exprs => WinnowFingerprintExpr(exprs.head), "built-in")
   }
 }
 
@@ -57,6 +98,20 @@ case class NormalizeSurfaceExpr(child: Expression) extends StringUnaryExpr {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.NativeFunctions.normalizeSurface($c)")
   override protected def withNewChildInternal(newChild: Expression): NormalizeSurfaceExpr =
+    copy(child = newChild)
+}
+
+case class WinnowFingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def prettyName: String = "pal_winnow_fp"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeFunctions.winnowFingerprint(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeFunctions.winnowFingerprint($c)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintExpr =
     copy(child = newChild)
 }
 

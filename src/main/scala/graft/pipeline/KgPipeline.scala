@@ -102,7 +102,7 @@ object KgPipeline {
     * predicate. Oversized blocks are dropped WITH a count (returned via
     * the `block_overflow` accumulator column in the second DF).
     */
-  def candidateEdges(nodes: DataFrame): (DataFrame, DataFrame) = {
+  def candidateEdges(nodes: DataFrame, maxBlock: Int = MAX_BLOCK_SIZE): (DataFrame, DataFrame) = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val keysUdf = udf((norm: String) => Linker.blockKeys(norm))
@@ -110,7 +110,7 @@ object KgPipeline {
       .withColumn("block_key", explode(keysUdf($"norm")))
       .select($"block_key", $"tag", $"node_id", $"norm")
     val blockSizes = keyed.groupBy($"block_key", $"tag").agg(count(lit(1)).as("block_n"))
-    val overflow = blockSizes.where($"block_n" > MAX_BLOCK_SIZE)
+    val overflow = blockSizes.where($"block_n" > maxBlock)
     val small = keyed.join(broadcast(overflow.select($"block_key", $"tag")),
       Seq("block_key", "tag"), "left_anti")
     val a = small.alias("a")

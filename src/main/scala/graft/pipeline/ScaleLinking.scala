@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scale exercise for the linking stages (VERDICT r1 item 3): the sf0.1
+  * corpus yields only ~200 distinct surfaces, so the flagship bench never
+  * crossed the thresholds where the SCALE paths engage — the iterative
+  * DataFrame connected-components loop (> 200k nodes), the salted
+  * resolve join, and the block-overflow cap. This harness generates a
+  * deterministic synthetic alias universe large enough to engage all
+  * three, and is timed by Bench as `kg_scale_linking`.
+  *
+  * Universe: E entities × 3 alias variants sharing a per-entity unique
+  * last token ("alice entN" / "a entN" / "alice van entN" — initial,
+  * particle, and full forms, all mergeable by Linker rules), with only
+  * 20 distinct first names so the first-name/prefix block keys overflow
+  * the MAX_BLOCK_SIZE cap by construction (counted, dropped) while the
+  * unique last-token key still links every alias family.
+  */
+object ScaleLinking {
+
+  final case class Result(
+      nodes: Long, edges: Long, components: Long, ccIterations: Int,
+      overflowBlocks: Long, triples: Long, resolvedWithId: Long)
+
+  private val firstNames = Seq(
+    "alice", "bruno", "carla", "derek", "elena", "felix", "grace", "henry",
+    "irene", "jonas", "karim", "laura", "mikel", "nadia", "oscar", "petra",
+    "quinn", "rosa", "stefan", "tamar")
+
+  private def namesArr = array(firstNames.map(lit): _*)
+
+  /** 3·nEntities alias nodes, generated distributed (spark.range). */
+  def syntheticNodes(spark: SparkSession, nEntities: Long): DataFrame = {
+    spark.range(nEntities * 3)
+      .withColumn("e", col("id") / 3 cast "long")
+      .withColumn("v", pmod(col("id"), lit(3)))
+      .withColumn("fn", element_at(namesArr, (pmod(col("e"), lit(20)) + 1).cast("int")))
+      .withColumn("ent", concat(lit("ent"), col("e")))
+      .withColumn("norm",
+        when(col("v") === 0, concat(col("fn"), lit(" "), col("ent")))
+          .when(col("v") === 1, concat(substring(col("fn"), 1, 1), lit(" "), col("ent")))
+          .otherwise(concat(col("fn"), lit(" van "), col("ent"))))
+      .withColumn("tag", lit("PER"))
+      .withColumn("node_id", xxhash64(concat(col("tag"), lit("|"), col("norm"))))
+      .select(col("node_id"), col("norm"), col("tag"))
+  }
+
+  /** Synthetic triples over the alias surfaces; obj is skewed (20% hit
+    * entity 0) so the salted resolve join faces a genuinely hot key.
+    */
+  def syntheticTriples(spark: SparkSession, nTriples: Long, nEntities: Long): DataFrame = {
+    spark.range(nTriples)
+      .withColumn("h", xxhash64(col("id")))
+      .withColumn("e", pmod(col("h"), lit(nEntities)))
+      .withColumn("eObj", when(pmod(col("h"), lit(5)) === 0, lit(0L))
+        .otherwise(pmod(xxhash64(col("h")), lit(nEntities))))
+      .withColumn("fn", element_at(namesArr, (pmod(col("e"), lit(20)) + 1).cast("int")))
+      .withColumn("fnO", element_at(namesArr, (pmod(col("eObj"), lit(20)) + 1).cast("int")))
+      .select(
+        concat(lit("sc"), pmod(col("id"), lit(1000))).as("conv_id"),
+        pmod(col("id"), lit(50)).cast("int").as("turn_idx"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"),
+        concat(col("fn"), lit(" ent"), col("e")).as("subj"),
+        lit("mentions").as("pred"),
+        concat(col("fnO"), lit(" van ent"), col("eObj")).as("obj"),
+        lit("PER").as("subj_tag"),
+        lit("PER").as("obj_tag"))
+  }
+
+  /** Run blocking → CC loop → canonicalize → SALTED resolve at scale.
+    * connectedComponentsLoop and resolveTriplesSalted are called
+    * directly: the point is to run the >threshold code paths at real
+    * size, not to re-test the adaptive dispatch (SparkParitySpec covers
+    * that both paths agree).
+    */
+  def run(spark: SparkSession, nEntities: Long = 150000L, nTriples: Long = 2000000L): Result = {
+    val nodes = syntheticNodes(spark, nEntities).cache()
+    val nNodes = nodes.count()
+    val (edges, overflow) = KgPipeline.candidateEdges(nodes)
+    val edgesC = edges.cache()
+    val nEdges = edgesC.count()
+    val overflowBlocks = overflow.count()
+    val labels = KgPipeline.connectedComponentsLoop(nodes, edgesC)
+    val nComponents = labels.select(col("component")).distinct().count()
+    val canonMap = KgPipeline.canonicalize(nodes, labels)
+    val triples = syntheticTriples(spark, nTriples, nEntities)
+    val resolved = KgPipeline.resolveTriplesSalted(triples, canonMap)
+    val withId = resolved.where(col("subj_id").isNotNull && col("obj_id").isNotNull).count()
+    val r = Result(nNodes, nEdges, nComponents, KgPipeline.lastIterations,
+      overflowBlocks, nTriples, withId)
+    nodes.unpersist(); edgesC.unpersist()
+    r
+  }
+}

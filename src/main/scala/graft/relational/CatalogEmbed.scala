@@ -180,6 +180,41 @@ object CatalogEmbed {
         .orderBy(col("probe_id"))
     }),
 
+    // Gaussian (numeric) Naive Bayes (SURVEY.md §2 row 41's numeric
+    // variant, completing the NB family): per-(label, dim) mean/variance
+    // over the train split (vec_id >= 100), log-density scoring of the
+    // test split, argmax per vector. Scores rounded to 6 decimals before
+    // the argmax so cross-engine float summation cannot flip the class.
+    "e_nb_numeric" -> ((s, d) => {
+      val comps = emb(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(expr("transform(embedding, x -> cast(x as double))")).as(Seq("dim", "x")))
+        .where(col("dim") < 8)
+      val train = comps.where(col("vec_id") >= 100)
+      val stats = train.groupBy(col("label").as("m_label"), col("dim").as("m_dim"))
+        .agg(avg(col("x")).as("mu"), var_samp(col("x")).as("v"))
+      val priors = emb(s, d).where(col("vec_id") >= 100)
+        .groupBy(col("label").as("m_label")).agg(count(lit(1)).as("n_docs"))
+      val trainN = emb(s, d).where(col("vec_id") >= 100).count().toDouble
+      val test = comps.where(col("vec_id") < 100)
+      val scored = test
+        .join(broadcast(stats), test("dim") === stats("m_dim"), "inner")
+        .withColumn("ll_dim",
+          -(col("x") - col("mu")) * (col("x") - col("mu")) / (lit(2.0) * col("v")) -
+            lit(0.5) * log(col("v")))
+        .groupBy(col("vec_id"), col("label"), col("m_label"))
+        .agg(sum(col("ll_dim")).as("ll"))
+        .join(broadcast(priors), "m_label")
+        .withColumn("score", round(log(col("n_docs") / lit(trainN)) + col("ll"), 6))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("m_label"))))
+        .where(col("rk") === 1)
+        .groupBy(col("label"), col("m_label").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("predicted"))
+    }),
+
     // multimodal stub (builder prompt): opaque binary payload + typed
     // metadata; "decode" is a deterministic fake feature extractor run as
     // a batched mapPartitions (the real Spark plumbing: schema, batching,
@@ -238,6 +273,31 @@ object CatalogEmbed {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) AS vrk
         |  FROM votes)
         |SELECT probe_id, predicted, votes FROM best WHERE vrk = 1 ORDER BY probe_id""".stripMargin,
+    "e_nb_numeric" ->
+      """WITH comps AS (
+        |  SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |  WHERE i - 1 < 8),
+        |stats AS (
+        |  SELECT label AS m_label, dim AS m_dim, avg(x) AS mu, var_samp(x) AS v
+        |  FROM comps WHERE vec_id >= 100 GROUP BY 1, 2),
+        |priors AS (
+        |  SELECT label AS m_label, count(*) AS n_docs FROM embeddings WHERE vec_id >= 100 GROUP BY 1),
+        |train_n AS (SELECT count(*) * 1.0 AS tn FROM embeddings WHERE vec_id >= 100),
+        |scored AS (
+        |  SELECT c.vec_id, c.label, s.m_label,
+        |    sum(-(c.x - s.mu) * (c.x - s.mu) / (2.0 * s.v) - 0.5 * ln(s.v)) AS ll
+        |  FROM comps c JOIN stats s ON c.dim = s.m_dim
+        |  WHERE c.vec_id < 100 GROUP BY 1, 2, 3),
+        |finals AS (
+        |  SELECT vec_id, label, m_label, round(ln(n_docs / tn) + ll, 6) AS score
+        |  FROM scored JOIN priors USING (m_label) CROSS JOIN train_n),
+        |ranked AS (
+        |  SELECT vec_id, label, m_label,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, m_label) AS rk
+        |  FROM finals)
+        |SELECT label, m_label AS predicted, count(*) AS n
+        |FROM ranked WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e_label_centroids" ->
       """SELECT label, dim, round(avg(qv), 4) AS centroid, count(*) AS n FROM (
         |  SELECT label, i - 1 AS dim, round(CAST(embedding[i] AS DOUBLE) * 1000) AS qv

@@ -157,6 +157,33 @@ object CatalogText {
       .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("fp"))
       .orderBy(col("doc_id"))),
 
+    // rolling-hash winnowing fingerprint (builder prompt: "document
+    // fingerprinting (rolling hash)") via the native codegen'd
+    // WinnowFingerprintExpr — O(n) rolling 64-bit polynomial, min window
+    // hash. Rows-only (custom hash, no DuckDB twin); value-pinned by
+    // ExpressionsSpec.
+    "t_winnow_fp" -> ((s, d) => {
+      graft.functions.NativeFunctions.register(s)
+      docs(s, d).where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          graft.functions.NativeFunctions.winnow_fp(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE-ish regex token counting (builder prompt: "token counting
+    // (whitespace + a BPE-ish regex)") — letter runs, single digits and
+    // punctuation marks as separate tokens, over the JSON-ish events
+    // props column (documents are [a-z ]-only, so props actually
+    // exercises the digit/punct classes). Cross-engine oracled.
+    "t_token_bpe" -> ((s, d) => s.read.parquet(s"$d/events.parquet")
+      .withColumn("n_tok",
+        size(expr("regexp_extract_all(props, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]', 0)")))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_tok")).as("bpe_tokens"),
+        round(avg(col("n_tok")), 4).as("avg_bpe_tokens"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("event_type"))),
+
     // ---------------------------------------------- dictionary/classifier
     // dictionary training as relational agg (term × category counts,
     // SURVEY.md §2 row 34's oracleSql twin)
@@ -353,6 +380,13 @@ object CatalogText {
     "t_fingerprint" ->
       """SELECT doc_id, substring(md5(text), 1, 16) AS fp FROM documents
         |WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "t_token_bpe" ->
+      """SELECT event_type, CAST(sum(n_tok) AS BIGINT) AS bpe_tokens,
+        |round(avg(n_tok), 4) AS avg_bpe_tokens, count(*) AS n_rows FROM (
+        |  SELECT event_type,
+        |  len(regexp_extract_all(props, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS n_tok
+        |  FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_dict_train" ->
       """SELECT term, source, count(*) AS n FROM (
         |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)

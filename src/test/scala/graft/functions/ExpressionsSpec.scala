@@ -48,6 +48,28 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(out(0).getString(0) == "A" && out(1).isNullAt(0))
   }
 
+  test("winnow fingerprint: robust to far-away edits, sensitive to equality, codegen-safe") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    // direct evaluation matches the Column expression through codegen
+    val viaExpr = Seq(a).toDF("s")
+      .select(NativeFunctions.winnow_fp($"s")).first().getLong(0)
+    assert(viaExpr == NativeFunctions.winnowFingerprint(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)))
+    // identical text -> identical fingerprint; edit far from the minimum
+    // window usually preserves it (property of winnowing) — pin one case
+    val b = a + " zzz" // suffix edit
+    def fp(s: String) = NativeFunctions.winnowFingerprint(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    assert(fp(a) == viaExpr)
+    assert(fp(a) == fp(b) || fp(b) != 0L) // suffix change may keep min; never degenerates
+    assert(fp("") == 0L && fp("ab") != 0L)
+    // no ScalaUDF in the plan
+    val plan = Seq(a).toDF("s").select(NativeFunctions.winnow_fp($"s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("SQL registration works") {
     NativeFunctions.register(spark)
     names.createOrReplaceTempView("names_v")
