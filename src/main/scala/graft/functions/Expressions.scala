@@ -44,6 +44,26 @@ object NativeFunctions {
     p
   }
 
+  /** Dot product over two array<double> columns, truncating to the
+    * shorter length. Strict left-to-right summation — the same order
+    * DuckDB's list_dot_product and a sequential loop use, so oracled
+    * quantized-dot queries stay bit-identical cross-engine. Replaces
+    * the interpreted `aggregate(zip_with(...))` higher-order lambdas
+    * that dominated per-row cost in the embedding family.
+    */
+  def dotProduct(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  def dot_product(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProductExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   def winnowFingerprint(s: UTF8String): Long = {
     val str = s.toString
     val n = str.length
@@ -81,7 +101,33 @@ object NativeFunctions {
       exprs => CaseSignatureExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("pal_winnow_fp",
       exprs => WinnowFingerprintExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("pal_dot",
+      exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
   }
+}
+
+case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "pal_dot"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<DOUBLE>, got ${left.dataType} / ${right.dataType}")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeFunctions.dotProduct(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeFunctions.dotProduct($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 trait StringUnaryExpr extends UnaryExpression {

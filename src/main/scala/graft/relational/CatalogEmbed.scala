@@ -34,14 +34,34 @@ object CatalogEmbed {
   def planesFor(n: Long): Int =
     math.max(8, math.ceil(math.log(math.max(1.0, n.toDouble / TARGET_BUCKET)) / math.log(2.0)).toInt)
 
-  private def planesExpr(n: Int): String =
-    s"transform(sequence(0, ${n - 1}), p -> " +
-      "aggregate(zip_with(v, sequence(0, size(v) - 1), (x, i) -> " +
-      "CASE WHEN pmod(xxhash64(i, p), 2) = 0 THEN x ELSE -x END), 0D, (a, z) -> a + z))"
+  /** Deterministic ±1 hyperplane weight for (plane p, component i) —
+    * splitmix64-style bit mix, computed ONCE at plan build time and
+    * shipped as literal arrays. The r1/r2-early version called
+    * xxhash64 per (element × plane) inside interpreted higher-order
+    * lambdas — ~512 hash calls per ROW, the dominant per-row cost at
+    * any scale. A literal sign array turns that into a multiply.
+    */
+  private def planeSign(p: Int, i: Int): Double = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z ^= z >>> 31; z *= 0xD6E8FEB86659FD93L; z ^= z >>> 27
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
 
-  private def bucketExpr(n: Int): String =
-    s"aggregate(zip_with(${planesExpr(n)}, sequence(0, ${n - 1}), (s, p) -> " +
-      "CASE WHEN s > 0 THEN shiftleft(1L, p) ELSE 0L END), 0L, (a, z) -> a + z)"
+  private val MAX_DIM = 512
+
+  /** Sign-bit LSH bucket code over `v` (array<double>) as a Column.
+    * Each plane projection is a native codegen'd dot product against a
+    * literal sign array — no interpreted higher-order lambdas.
+    */
+  private def bucketCol(n: Int): org.apache.spark.sql.Column = {
+    val projections = (0 until n).map { p =>
+      val signs = lit((0 until MAX_DIM).map(i => planeSign(p, i)).toArray)
+      graft.functions.NativeFunctions.dot_product(col("v"), signs)
+    }
+    projections.zipWithIndex
+      .map { case (proj, p) => when(proj > 0, lit(1L << p)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+  }
 
   /** LSH ANN over (vec_id, v:array<double>): adaptive-width sign-bit
     * code (planesFor), multi-probe (home bucket + all single-bit flips),
@@ -50,7 +70,7 @@ object CatalogEmbed {
     */
   def annLsh(vecs: DataFrame, probeMax: Int = 20, k: Int = 3, nPlanes: Int = 0): DataFrame = {
     val planes = if (nPlanes > 0) nPlanes else planesFor(vecs.count())
-    val bucketed = vecs.withColumn("bucket", expr(bucketExpr(planes)))
+    val bucketed = vecs.withColumn("bucket", bucketCol(planes))
     val candAll = bucketed.where(col("vec_id") >= probeMax)
     val hot = candAll.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > MAX_ANN_BUCKET)
@@ -60,7 +80,7 @@ object CatalogEmbed {
         explode(expr("array_union(array(bucket), " +
           s"transform(sequence(0, ${planes - 1}), p -> bucket ^ shiftleft(1L, p)))")).as("bucket"))
     probes.join(cands, Seq("bucket"))
-      .withColumn("dot", round(expr("aggregate(zip_with(pv, v, (x, y) -> x * y), 0D, (a, z) -> a + z)"), 6))
+      .withColumn("dot", round(graft.functions.NativeFunctions.dot_product(col("pv"), col("v")), 6))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("probe_id")).orderBy(col("dot").desc, col("vec_id"))))
       .where(col("rk") <= k)
@@ -73,15 +93,15 @@ object CatalogEmbed {
     * Exposed for CosineDupeSpec to run on fixture data.
     */
   def cosineDupes(vecs: DataFrame, minCos: Double = 0.9): DataFrame = {
-    val withNorm = vecs.withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
-      .withColumn("bucket", expr(bucketExpr(8)))
+    val withNorm = vecs.withColumn("nrm", sqrt(graft.functions.NativeFunctions.dot_product(col("v"), col("v"))))
+      .withColumn("bucket", bucketCol(8))
     val hot = withNorm.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > MAX_ANN_BUCKET)
     val cold = withNorm.join(broadcast(hot.select(col("bucket"))), Seq("bucket"), "left_anti")
     cold.as("a").join(cold.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", round(
-        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
+        graft.functions.NativeFunctions.dot_product(col("a.v"), col("b.v")) /
           (col("a.nrm") * col("b.nrm")), 6))
       .where(col("cos") >= minCos)
       .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("dup_id"), col("cos"))
@@ -95,7 +115,7 @@ object CatalogEmbed {
       val probes = q.where(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("q").as("pq"))
       val scored = probes.join(q.where(col("vec_id") >= 5))
-        .withColumn("dot", expr("aggregate(zip_with(pq, q, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+        .withColumn("dot", graft.functions.NativeFunctions.dot_product(col("pq"), col("q")))
       scored
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("probe_id")).orderBy(col("dot").desc, col("vec_id"))))
@@ -108,12 +128,12 @@ object CatalogEmbed {
     "e_knn_cosine" -> ((s, d) => {
       val v = emb(s, d).select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+        .withColumn("nrm", sqrt(graft.functions.NativeFunctions.dot_product(col("v"), col("v"))))
       val probes = v.where(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
       probes.join(v.where(col("vec_id") >= 5))
         .withColumn("cos", round(
-          expr("aggregate(zip_with(pv, v, (x, y) -> x * y), 0D, (a, z) -> a + z)") /
+          graft.functions.NativeFunctions.dot_product(col("pv"), col("v")) /
             (col("pn") * col("nrm")), 6))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))))
@@ -122,13 +142,14 @@ object CatalogEmbed {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
-    // LSH-bucketed ANN scale path (rows-only): sign-bit bucket over 16
-    // pseudo-random hyperplanes (deterministic ±1 weights from xxhash64)
-    // with MULTI-PROBE — each probe searches its home bucket plus the 16
-    // single-bit-flip neighbor buckets, recovering the recall a 16-bit
-    // code alone would lose — and a per-bucket membership cap (counted
-    // via anti-join, not silent) so a degenerate hot bucket can never go
-    // quadratic at scale. Recall vs the exact KNN baseline is gated by
+    // LSH-bucketed ANN scale path (rows-only): sign-bit bucket over
+    // corpus-adaptive pseudo-random hyperplanes (deterministic ±1 literal
+    // sign arrays, native dot-product projections) with MULTI-PROBE —
+    // each probe searches its home bucket plus every single-bit-flip
+    // neighbor bucket, recovering the recall a wide code alone would
+    // lose — and a per-bucket membership cap (counted via anti-join, not
+    // silent) so a degenerate hot bucket can never go quadratic at
+    // scale. Recall vs the exact KNN baseline is gated by
     // AnnRecallSpec (>= 0.9 on a planted-neighbor fixture).
     "e_ann_lsh" -> ((s, d) => annLsh(emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v")))),
@@ -168,7 +189,7 @@ object CatalogEmbed {
       val probes = q.where(col("vec_id") < 20)
         .select(col("vec_id").as("probe_id"), col("q").as("pq"))
       val neighbors = probes.join(q.where(col("vec_id") >= 20))
-        .withColumn("dot", expr("aggregate(zip_with(pq, q, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+        .withColumn("dot", graft.functions.NativeFunctions.dot_product(col("pq"), col("q")))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("probe_id")).orderBy(col("dot").desc, col("vec_id"))))
         .where(col("rk") <= 5)
