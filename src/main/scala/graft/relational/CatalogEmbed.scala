@@ -88,6 +88,60 @@ object CatalogEmbed {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** IVF (inverted-file) ANN over (vec_id, v): deterministic coarse
+    * quantizer — seeds = the nClusters lowest candidate ids, ONE Lloyd
+    * refinement step (assign-to-nearest, per-dimension mean), then each
+    * candidate is indexed under its nearest centroid and each probe
+    * searches its nProbe nearest centroids' lists with exact dot top-k.
+    * The centroid table is tiny (k × dim) and broadcast; the scan cost
+    * per probe is ~nProbe/k of the corpus — the IVF scale path the
+    * builder prompt asks for beside the LSH one. Deterministic (no RNG):
+    * resumable and cross-run stable. Recall gated by DedupAnnSpec.
+    */
+  def annIvf(vecs: DataFrame, probeMax: Int = 20, k: Int = 3,
+      nClusters: Int = 16, nProbe: Int = 2): DataFrame = {
+    val dot = graft.functions.NativeFunctions.dot_product _
+    val cands = vecs.where(col("vec_id") >= probeMax)
+    val seeds = cands.orderBy(col("vec_id")).limit(nClusters)
+      .select(col("vec_id").as("seed_id"), col("v").as("cv"))
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    // one Lloyd step: nearest seed per candidate, then per-dim means
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("seed_id"))
+    val assigned0 = cands.crossJoin(broadcast(seeds))
+      .withColumn("dist", round(d2(col("v"), col("cv")), 9))
+      .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("seed_id"))
+    val centroids = assigned0
+      .select(col("seed_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("seed_id"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("seed_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), e -> e.m)").as("cv"))
+      .withColumnRenamed("seed_id", "cluster")
+    // index candidates under the refined centroids
+    val wc = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cluster"))
+    val indexed = cands.crossJoin(broadcast(centroids))
+      .withColumn("dist", round(d2(col("v"), col("cv")), 9))
+      .withColumn("rk", row_number().over(wc)).where(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cluster"))
+    // probes search their nProbe nearest clusters
+    val probes = vecs.where(col("vec_id") < probeMax)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", round(d2(col("pv"), col("cv")), 9))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("dist").asc, col("cluster"))))
+      .where(col("crk") <= nProbe)
+      .select(col("probe_id"), col("pv"), col("cluster"))
+    probes.join(indexed, Seq("cluster"))
+      .withColumn("dot", round(dot(col("pv"), col("v")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("dot").desc, col("vec_id"))))
+      .where(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("dot"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over (vec_id, v): sign-bit
     * LSH bucket join (capped) + exact cosine residual >= `minCos`.
     * Exposed for CosineDupeSpec to run on fixture data.
@@ -152,6 +206,11 @@ object CatalogEmbed {
     // scale. Recall vs the exact KNN baseline is gated by
     // AnnRecallSpec (>= 0.9 on a planted-neighbor fixture).
     "e_ann_lsh" -> ((s, d) => annLsh(emb(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v")))),
+
+    // IVF ANN scale path (rows-only — float k-means has no DuckDB twin);
+    // recall gated vs exact KNN by DedupAnnSpec
+    "e_ann_ivf" -> ((s, d) => annIvf(emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v")))),
 
     // ORACLED: embedding label centroids on quantized components

@@ -83,6 +83,25 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n_turns"))
   }
 
+  /** Streaming CONTENT dedup (dedup-family streaming twin, builder
+    * prompt): exact near-real-time deduplication by content hash —
+    * re-delivered or copy-pasted turn text inside the watermark is
+    * dropped regardless of its (conv_id, turn_idx) identity. The state
+    * store holds one key per distinct content hash within the watermark
+    * horizon; at 100 TB the horizon bounds state size, and the md5 key
+    * (16 bytes) keeps it compact irrespective of document length.
+    */
+  def dedupByContent(turns: Dataset[Turn]): Dataset[Turn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns
+      .withColumn("content_hash", md5($"text"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .drop("content_hash")
+      .as[Turn]
+  }
+
   /** Conversation assembly across micro-batches: custom state per conv
     * (flatMapGroupsWithState) emitting running (max_turn, n_mentions).
     */

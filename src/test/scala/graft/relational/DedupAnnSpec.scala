@@ -62,6 +62,23 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(hits >= 18, s"ANN recall ${hits / 20.0} < 0.9 (hits=$hits, found=${ann.size} probes)")
   }
 
+  test("annIvf recall >= 0.9 vs exact top-1 on planted-neighbor fixture") {
+    val rows = fixture()
+    val df = toDf(rows)
+    val byId = rows.toMap
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val exactTop1 = (0 until 20).map { p =>
+      val pv = byId(p.toLong)
+      p.toLong -> rows.filter(_._1 >= 20).maxBy { case (_, v) => dot(pv, v) }._1
+    }.toMap
+    val ivf = CatalogEmbed.annIvf(df, probeMax = 20, k = 3)
+      .collect().groupBy(_.getAs[Long]("probe_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val hits = (0 until 20).count(p => ivf.getOrElse(p.toLong, Set.empty).contains(exactTop1(p.toLong)))
+    assert(hits >= 18, s"IVF recall ${hits / 20.0} < 0.9 (hits=$hits)")
+  }
+
   test("cosineDupes finds planted near-duplicates") {
     val rows = fixture()
     val df = toDf(rows)

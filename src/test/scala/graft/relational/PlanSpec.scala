@@ -59,6 +59,25 @@ class PlanSpec extends AnyFunSuite {
       scan.metadata("PushedFilters"))
   }
 
+  test("BPE token count prunes the events scan to 2 of its columns") {
+    val scan = scans("t_token_bpe").head
+    assert(scan.requiredSchema.fieldNames.sorted.toSeq == Seq("event_type", "props"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("embedding queries prune the embeddings scan (no label/meta columns)") {
+    val scan = scans("e_knn_quantized").head
+    assert(scan.requiredSchema.fieldNames.sorted.toSeq == Seq("embedding", "vec_id"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("ANN LSH plans the bucket-cap anti-join and a native dot product") {
+    val p = plan("e_ann_lsh")
+    assert(p.contains("LeftAnti"), "bucket cap anti-join missing")
+    assert(p.contains("pal_dot"), "native dot-product expression missing")
+    assert(!p.contains("ScalaUDF"), "interpreted UDF crept into the ANN path")
+  }
+
   test("minhash avoids row-exploding signature generation and caps buckets") {
     val p = plan("t_minhash_lsh")
     assert(!p.contains("posexplode"))

@@ -47,6 +47,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == batch.toSet)
   }
 
+  test("streaming content dedup drops textual duplicates across identities") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_dd").toString
+    val ts = new java.sql.Timestamp(1700000000000L)
+    // same text under three different (conv, turn) identities + one unique
+    Seq(
+      graft.corpus.Turn("cA", 0, "user", "hello world copy", "", ts),
+      graft.corpus.Turn("cB", 1, "user", "hello world copy", "", ts),
+      graft.corpus.Turn("cC", 2, "user", "hello world copy", "", ts),
+      graft.corpus.Turn("cD", 3, "user", "something else", "", ts))
+      .toDS().write.parquet(s"$dir/drop1")
+    val deduped = StreamingIngest.dedupByContent(StreamingIngest.readTurns(spark, s"$dir/drop*"))
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("stream_dd").start()
+    q.processAllAvailable(); q.stop()
+    val texts = spark.table("stream_dd").select("text").collect().map(_.getString(0)).sorted
+    assert(texts.toSeq == Seq("hello world copy", "something else"),
+      s"content dedup failed: ${texts.mkString("|")}")
+  }
+
   test("windowed mention counts run with watermark") {
     import spark.implicits._
     val labeled = Transcripts.generateLabeled(spark, N)
