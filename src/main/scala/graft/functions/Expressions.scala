@@ -64,6 +64,28 @@ object NativeFunctions {
     GraftColumnBridge.column(DotProductExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Strict dot product matching `aggregate(zip_with(a,b,*),0D,+)`
+    * semantics exactly: zip_with pads the shorter array with nulls and a
+    * null poisons the sum, so unequal lengths or null elements yield
+    * NULL (the truncating dotProduct above is for hand-placed calls
+    * where lengths are known equal, e.g. the 512-wide sign arrays).
+    * Used by the DotProductRewrite optimizer rule, which must preserve
+    * the original expression's semantics bit-for-bit.
+    */
+  def dotProductStrict(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
   def winnowFingerprint(s: UTF8String): Long = {
     val str = s.toString
     val n = str.length
@@ -104,6 +126,42 @@ object NativeFunctions {
     reg.createOrReplaceTempFunction("pal_dot",
       exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
   }
+}
+
+/** Null-strict twin of DotProductExpr (see NativeFunctions
+  * .dotProductStrict): NULL on length mismatch or null elements —
+  * exactly the HOF aggregate/zip_with semantics, so the optimizer
+  * rewrite is semantics-preserving.
+  */
+case class DotProductStrictExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pal_dot_strict"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<DOUBLE>, got ${left.dataType} / ${right.dataType}")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeFunctions.dotProductStrict(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.NativeFunctions.dotProductStrict($a, $b);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductStrictExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 case class DotProductExpr(left: Expression, right: Expression)
