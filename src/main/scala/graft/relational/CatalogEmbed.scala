@@ -112,12 +112,17 @@ object CatalogEmbed {
       .withColumn("dist", round(d2(col("v"), col("cv")), 9))
       .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("seed_id"))
+    // localCheckpoint: the centroid table is k tiny rows but its lineage
+    // (seed limit + crossJoin + window + per-dim means) would otherwise
+    // re-execute for EVERY downstream branch (candidate indexing, probe
+    // routing) — measured 3× recompute, ~2/3 of the query's wall
     val centroids = assigned0
       .select(col("seed_id"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("seed_id"), col("dim")).agg(avg(col("x")).as("m"))
       .groupBy(col("seed_id"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, m))), e -> e.m)").as("cv"))
       .withColumnRenamed("seed_id", "cluster")
+      .localCheckpoint()
     // index candidates under the refined centroids
     val wc = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cluster"))
     val indexed = cands.crossJoin(broadcast(centroids))
