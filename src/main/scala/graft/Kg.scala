@@ -69,20 +69,34 @@ object Kg {
     pipeline.NerEval.errorClasses(spark, pred, gold)
   }
 
+  /** Predicted mention spans on the held-out split (also dumped as
+    * kg_eval_pred — the input the kg_eval_prf oracle recomputes from).
+    */
+  def evalPred(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val b = built(spark, sfDir)
+    val isEvalUdf = udf((c: String) => graft.corpus.TranscriptGen.isEval(c.drop(1).toLong))
+    b.out.mentions.where(isEvalUdf($"conv_id"))
+      .select($"conv_id", $"turn_idx", $"start", $"end", $"tag")
+  }
+
+  /** Gold spans on the held-out split (dumped as kg_gold_spans). */
+  def evalGold(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val b = built(spark, sfDir)
+    val isEvalUdf = udf((c: String) => graft.corpus.TranscriptGen.isEval(c.drop(1).toLong))
+    b.labeled.where(isEvalUdf($"conv_id"))
+      .select($"conv_id", $"turn_idx", explode($"gold").as("g"))
+      .select($"conv_id", $"turn_idx", $"g.start", $"g.end", $"g.tag")
+  }
+
   /** Span-level P/R per tag on the held-out split — the Spark twin of the
     * oracle's evaluation gate (SURVEY.md §2 rows 37–38).
     */
   def evalPrf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val b = built(spark, sfDir)
-    val isEvalUdf = udf((c: String) => graft.corpus.TranscriptGen.isEval(c.drop(1).toLong))
-    val pred = b.out.mentions
-      .where(isEvalUdf($"conv_id"))
-      .select($"conv_id", $"turn_idx", $"start", $"end", $"tag")
-    val gold = b.labeled
-      .where(isEvalUdf($"conv_id"))
-      .select($"conv_id", $"turn_idx", explode($"gold").as("g"))
-      .select($"conv_id", $"turn_idx", $"g.start", $"g.end", $"g.tag")
+    val pred = evalPred(spark, sfDir)
+    val gold = evalGold(spark, sfDir)
     val joined = pred.withColumn("p", lit(1))
       .join(gold.withColumn("g", lit(1)),
         Seq("conv_id", "turn_idx", "start", "end", "tag"), "full_outer")

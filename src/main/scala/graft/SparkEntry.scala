@@ -32,6 +32,41 @@ object SparkEntry {
     * so they are real cross-checks, not identities.
     */
   private def kgOracleSql: Map[String, String] = Map(
+    // connected components recomputed FROM SCRATCH in DuckDB: recursive
+    // min-label closure over the dumped candidate-edge set must equal
+    // the labels the Spark CC (union-find or iterative loop) produced —
+    // a genuine cross-engine check of the canonicalization heart
+    "kg_components" ->
+      """WITH RECURSIVE sym AS (
+        |  SELECT src, dst FROM '__OUTDIR__/kg_cc_edges/*.parquet'
+        |  UNION SELECT dst, src FROM '__OUTDIR__/kg_cc_edges/*.parquet'),
+        |nodes AS (SELECT node_id FROM '__OUTDIR__/kg_components/*.parquet'),
+        |reach(node_id, lbl) AS (
+        |  SELECT node_id, node_id FROM nodes
+        |  UNION
+        |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node_id)
+        |SELECT node_id, min(lbl) AS component FROM reach
+        |GROUP BY 1 ORDER BY node_id""".stripMargin,
+    // headline P/R table recomputed in DuckDB from the dumped pred/gold
+    // spans (full-outer span join, per-tag tp/fp/fn)
+    "kg_eval_prf" ->
+      """WITH p AS (SELECT conv_id, turn_idx, "start", "end", tag
+        |           FROM '__OUTDIR__/kg_eval_pred/*.parquet'),
+        |g AS (SELECT conv_id, turn_idx, "start", "end", tag
+        |      FROM '__OUTDIR__/kg_gold_spans/*.parquet'),
+        |j AS (
+        |  SELECT coalesce(p.tag, g.tag) AS tag,
+        |    CASE WHEN p.tag IS NOT NULL AND g.tag IS NOT NULL THEN 1 ELSE 0 END AS is_tp,
+        |    CASE WHEN p.tag IS NOT NULL AND g.tag IS NULL THEN 1 ELSE 0 END AS is_fp,
+        |    CASE WHEN p.tag IS NULL AND g.tag IS NOT NULL THEN 1 ELSE 0 END AS is_fn
+        |  FROM p FULL OUTER JOIN g
+        |    ON p.conv_id = g.conv_id AND p.turn_idx = g.turn_idx
+        |    AND p."start" = g."start" AND p."end" = g."end" AND p.tag = g.tag)
+        |SELECT tag, CAST(sum(is_tp) AS BIGINT) AS tp, CAST(sum(is_fp) AS BIGINT) AS fp,
+        |  CAST(sum(is_fn) AS BIGINT) AS fn,
+        |  round(CAST(sum(is_tp) AS DOUBLE) / (sum(is_tp) + sum(is_fp)), 6) AS precision,
+        |  round(CAST(sum(is_tp) AS DOUBLE) / (sum(is_tp) + sum(is_fn)), 6) AS recall
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // stable turn ordering invariant (north rule): recompute turn_ord
     // with DuckDB's own window function and compare every row
     "kg_turns" ->
@@ -97,7 +132,18 @@ object SparkEntry {
     "kg_surface_nodes" -> ((s, d) => Kg.built(s, d).out.nodes
       .select(col("norm"), col("tag"), col("n_mentions"), col("surface"))
       .orderBy(col("norm"), col("tag"))),
-    "kg_components" -> ((s, d) => Kg.built(s, d).out.components),
+    "kg_components" -> ((s, d) => Kg.built(s, d).out.components
+      .orderBy(col("node_id"))),
+    // CC input edges, dumped so the kg_components oracle can recompute
+    // connected components in DuckDB (recursive CTE) from scratch
+    "kg_cc_edges" -> ((s, d) => Kg.built(s, d).out.ccEdges
+      .orderBy(col("src"), col("dst"))),
+    // pred/gold span dumps: inputs for the kg_eval_prf oracle, which
+    // recomputes the headline P/R table in DuckDB
+    "kg_eval_pred" -> ((s, d) => Kg.evalPred(s, d)
+      .orderBy(col("conv_id"), col("turn_idx"), col("start"), col("end"))),
+    "kg_gold_spans" -> ((s, d) => Kg.evalGold(s, d)
+      .orderBy(col("conv_id"), col("turn_idx"), col("start"), col("end"))),
     // aliases stringified: the driver's verify harness sorts/hashes rows
     // with pandas, which cannot hash ARRAY cells (r1 dump-err)
     "kg_entities" -> ((s, d) => Kg.built(s, d).out.entities

@@ -319,6 +319,7 @@ object KgPipeline {
       mentions: DataFrame,
       triples: DataFrame,
       nodes: DataFrame,
+      ccEdges: DataFrame,
       components: DataFrame,
       entities: DataFrame,
       resolvedTriples: DataFrame,
@@ -341,6 +342,6 @@ object KgPipeline {
     val entities = entitiesTable(nodes, labels)
     val resolved = resolveTriples(triples, canonMap)
     val kgEdges = edgesTable(resolved)
-    KgOutput(tagged, mentions, triples, nodes, labels, entities, resolved, kgEdges, overflow)
+    KgOutput(tagged, mentions, triples, nodes, edges0, labels, entities, resolved, kgEdges, overflow)
   }
 }
