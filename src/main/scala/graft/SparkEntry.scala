@@ -67,6 +67,49 @@ object SparkEntry {
         |  round(CAST(sum(is_tp) AS DOUBLE) / (sum(is_tp) + sum(is_fp)), 6) AS precision,
         |  round(CAST(sum(is_tp) AS DOUBLE) / (sum(is_tp) + sum(is_fn)), 6) AS recall
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // entities rebuilt from the node + component dumps: per (component,
+    // tag) canonical = min norm, sorted distinct alias list, mention sum
+    "kg_entities" ->
+      """SELECT min(n.norm) AS canonical, n.tag AS entity_type,
+        |  string_agg(DISTINCT n.surface, '|' ORDER BY n.surface) AS aliases,
+        |  CAST(sum(n.n_mentions) AS BIGINT) AS n_mentions
+        |FROM '__OUTDIR__/kg_nodes_full/*.parquet' n
+        |JOIN '__OUTDIR__/kg_components/*.parquet' c ON n.node_id = c.node_id
+        |GROUP BY c.component, n.tag
+        |ORDER BY 1, 2""".stripMargin,
+    // gazetteer disambiguation redone from scratch: candidate equi-join
+    // on the dumped blocking key, trigram-set Jaccard + type/popularity
+    // scoring, per-surface argmax, mention join
+    "kg_gazetteer_disambig" ->
+      """WITH s AS (SELECT norm, tag, block_key FROM '__OUTDIR__/kg_gaz_surfaces/*.parquet'),
+        |a AS (SELECT * FROM '__OUTDIR__/kg_gaz_aliases/*.parquet'),
+        |g AS (
+        |  SELECT s.norm, s.tag, a.entity_id, a.alias, a.entity_type, a.popularity,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(s.norm) - 2, 0)),
+        |      i -> substring(s.norm, i, 3))) AS gn,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(a.alias_norm) - 2, 0)),
+        |      i -> substring(a.alias_norm, i, 3))) AS ga
+        |  FROM s JOIN a ON s.block_key = a.block_key),
+        |scored AS (
+        |  SELECT norm, tag, entity_id, alias,
+        |    round(sim * 0.6 + CASE WHEN tag = entity_type THEN 0.3 ELSE 0.0 END
+        |      + popularity * 0.1, 6) AS score, sim
+        |  FROM (
+        |    SELECT *, CASE WHEN len(gn) = 0 AND len(ga) = 0 THEN 1.0
+        |      WHEN len(gn) = 0 OR len(ga) = 0 THEN 0.0
+        |      ELSE len(list_distinct(list_intersect(gn, ga))) * 1.0 /
+        |        len(list_distinct(list_concat(gn, ga))) END AS sim
+        |    FROM g)
+        |  WHERE sim >= 0.3),
+        |best AS (
+        |  SELECT norm, tag, entity_id, alias, score,
+        |    row_number() OVER (PARTITION BY norm, tag ORDER BY score DESC, entity_id, alias) AS rk
+        |  FROM scored)
+        |SELECT m.conv_id, m.turn_idx, m."start", m."end", m.value, m.tag,
+        |  b.entity_id, b.alias, b.score
+        |FROM '__OUTDIR__/kg_mentions/*.parquet' m
+        |JOIN best b ON m.norm = b.norm AND m.tag = b.tag AND b.rk = 1
+        |ORDER BY m.conv_id, m.turn_idx, m."start", m."end"""".stripMargin,
     // stable turn ordering invariant (north rule): recompute turn_ord
     // with DuckDB's own window function and compare every row
     "kg_turns" ->
@@ -144,10 +187,14 @@ object SparkEntry {
       .orderBy(col("conv_id"), col("turn_idx"), col("start"), col("end"))),
     "kg_gold_spans" -> ((s, d) => Kg.evalGold(s, d)
       .orderBy(col("conv_id"), col("turn_idx"), col("start"), col("end"))),
-    // aliases stringified: the driver's verify harness sorts/hashes rows
-    // with pandas, which cannot hash ARRAY cells (r1 dump-err)
+    // aliases stringified (pandas cannot hash ARRAY cells — r1 dump-err);
+    // entity_id omitted from the QUERY (xxhash64 has no DuckDB twin) so
+    // the oracle can rebuild the whole table from the node + component
+    // dumps; the entities table itself keeps its stable id
     "kg_entities" -> ((s, d) => Kg.built(s, d).out.entities
-      .withColumn("aliases", concat_ws("|", col("aliases")))),
+      .select(col("canonical"), col("entity_type"),
+        concat_ws("|", col("aliases")).as("aliases"), col("n_mentions"))
+      .orderBy(col("canonical"), col("entity_type"))),
     "kg_resolved_triples" -> ((s, d) => Kg.built(s, d).out.resolvedTriples),
     "kg_edges" -> ((s, d) => Kg.built(s, d).out.edges
       .orderBy(col("src"), col("dst"), col("pred"))),
@@ -175,7 +222,23 @@ object SparkEntry {
       graft.pipeline.ClassifyStage.accuracy(Kg.roleScored(s, d))),
     "kg_gazetteer_disambig" -> ((s, d) =>
       graft.pipeline.Gazetteer.disambiguate(
-        Kg.built(s, d).out.mentions, graft.pipeline.Gazetteer.aliasTable(s))),
+          Kg.built(s, d).out.mentions, graft.pipeline.Gazetteer.aliasTable(s))
+        .orderBy(col("conv_id"), col("turn_idx"), col("start"), col("end"))),
+    // dumped inputs for the kg_gazetteer_disambig oracle: the UDF-derived
+    // blocking key and the alias table become DATA, so DuckDB can redo
+    // the candidate join + trigram-jaccard scoring + argmax from scratch
+    "kg_gaz_surfaces" -> ((s, d) => {
+      val keyUdf = udf((norm: String) => graft.semantics.Linker.blockKeys(norm).headOption.orNull)
+      Kg.built(s, d).out.mentions.select(col("norm"), col("tag")).distinct()
+        .withColumn("block_key", keyUdf(col("norm")))
+        .orderBy(col("norm"), col("tag"))
+    }),
+    "kg_gaz_aliases" -> ((s, d) => graft.pipeline.Gazetteer.aliasTable(s)
+      .orderBy(col("alias"), col("entity_id"))),
+    // full node dump (incl. node_id) — input for the kg_entities oracle
+    "kg_nodes_full" -> ((s, d) => Kg.built(s, d).out.nodes
+      .select(col("node_id"), col("norm"), col("tag"), col("surface"), col("n_mentions"))
+      .orderBy(col("node_id"))),
     // skew diagnostics (SURVEY.md §2 row 59): quantiles of turns/conv and
     // mentions/entity — drives the salt-factor choice
     "kg_skew_diagnostics" -> ((s, d) => {

@@ -51,8 +51,12 @@ object Gazetteer {
           when(col("tag") === col("entity_type"), 0.3).otherwise(0.0) +
           col("popularity") * 0.1, 6))
     import org.apache.spark.sql.expressions.Window
+    // alias in the ordering makes the argmax a TOTAL order: two aliases
+    // of the same entity can tie on (score, entity_id), and row_number
+    // over a partial order is nondeterministic (caught by the r2
+    // cross-engine oracle — DuckDB picked the other alias)
     val w = Window.partitionBy(col("norm"), col("tag"))
-      .orderBy(col("score").desc, col("entity_id"))
+      .orderBy(col("score").desc, col("entity_id"), col("alias"))
     val best = cands.withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
       .select(col("norm"), col("tag"), col("entity_id"), col("alias"), col("score"))
