@@ -144,6 +144,60 @@ object SparkEntry {
     "kg_role_accuracy" ->
       """SELECT round(avg(CASE WHEN actual = predicted THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
         |count(*) AS n FROM '__OUTDIR__/kg_role_scored/*.parquet'""".stripMargin,
+    // dictionary training re-aggregated in DuckDB from the raw event
+    // stream: checks the distributed groupByKey/count shuffle end-to-end
+    "kg_train_dict" ->
+      """SELECT dict, key, value, count(*) AS "count"
+        |FROM '__OUTDIR__/kg_train_events/*.parquet'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // the whole resolve join redone in DuckDB: surface normalization via
+    // regex (the exact twin of StringOps.normalizeSurface on this ASCII
+    // corpus), double left join against the canon-map dump, coalesce
+    // fallbacks — cross-checks the broadcast/salted join logic itself
+    "kg_resolved_triples" ->
+      """WITH t AS (SELECT * FROM '__OUTDIR__/kg_triples/*.parquet'),
+        |cm AS (SELECT * FROM '__OUTDIR__/kg_canon_map/*.parquet'),
+        |n AS (SELECT conv_id, turn_idx, ts, subj, pred, obj, subj_tag, obj_tag,
+        |  trim(regexp_replace(lower(subj), '[^a-z0-9]+', ' ', 'g')) AS s_norm,
+        |  trim(regexp_replace(lower(obj), '[^a-z0-9]+', ' ', 'g')) AS o_norm FROM t)
+        |SELECT n.conv_id, n.turn_idx, n.ts, n.subj, n.pred, n.obj,
+        |  n.subj_tag, n.obj_tag, cs.entity_id AS subj_id, co.entity_id AS obj_id,
+        |  coalesce(cs.canonical_norm, n.s_norm) AS subj_canonical,
+        |  coalesce(co.canonical_norm, n.o_norm) AS obj_canonical
+        |FROM n
+        |LEFT JOIN cm cs ON cs.norm = n.s_norm AND cs.tag = n.subj_tag
+        |LEFT JOIN cm co ON co.norm = n.o_norm AND co.tag = n.obj_tag
+        |ORDER BY n.conv_id, n.turn_idx, n.subj, n.pred, n.obj, n.subj_tag, n.obj_tag""".stripMargin,
+    // MUC-style error classes recomputed in DuckDB from the span dumps:
+    // interval-overlap join, exact/type/boundary classification, anti-join
+    // leftovers as spurious/miss
+    "kg_ner_errors" ->
+      """WITH p AS (SELECT conv_id, turn_idx, "start" AS p_start, "end" AS p_end, tag AS p_tag
+        |           FROM '__OUTDIR__/kg_eval_pred/*.parquet'),
+        |g AS (SELECT conv_id, turn_idx, "start" AS g_start, "end" AS g_end, tag AS g_tag
+        |      FROM '__OUTDIR__/kg_gold_spans/*.parquet'),
+        |ov AS (SELECT p.conv_id, p.turn_idx, p_start, p_end, g_start, g_end,
+        |  CASE WHEN p_start = g_start AND p_end = g_end AND p_tag = g_tag THEN 'correct'
+        |       WHEN p_start = g_start AND p_end = g_end THEN 'wrong_type'
+        |       ELSE 'wrong_boundary' END AS cls
+        |  FROM p JOIN g ON p.conv_id = g.conv_id AND p.turn_idx = g.turn_idx
+        |    AND p_start < g_end AND g_start < p_end),
+        |mp AS (SELECT DISTINCT conv_id, turn_idx, p_start, p_end FROM ov),
+        |mg AS (SELECT DISTINCT conv_id, turn_idx, g_start, g_end FROM ov),
+        |sp AS (SELECT 'spurious' AS cls FROM p ANTI JOIN mp
+        |  ON p.conv_id = mp.conv_id AND p.turn_idx = mp.turn_idx
+        |  AND p.p_start = mp.p_start AND p.p_end = mp.p_end),
+        |ms AS (SELECT 'miss' AS cls FROM g ANTI JOIN mg
+        |  ON g.conv_id = mg.conv_id AND g.turn_idx = mg.turn_idx
+        |  AND g.g_start = mg.g_start AND g.g_end = mg.g_end)
+        |SELECT cls, count(*) AS n FROM (
+        |  SELECT cls FROM ov UNION ALL SELECT cls FROM sp UNION ALL SELECT cls FROM ms)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // overflow accounting recomputed from the exploded blocking keys
+    "kg_block_overflow" ->
+      """SELECT block_key, tag, count(*) AS block_n
+        |FROM '__OUTDIR__/kg_block_keys/*.parquet'
+        |GROUP BY 1, 2 HAVING count(*) > 3 ORDER BY 1, 2""".stripMargin,
     "kg_surface_type_dist" ->
       """WITH m AS (SELECT norm, tag, conf FROM '__OUTDIR__/kg_mentions/*.parquet'),
         |s AS (SELECT norm, tag, sum(conf) AS sc FROM m GROUP BY 1, 2),
@@ -167,6 +221,19 @@ object SparkEntry {
       val dict = graft.pipeline.NerTraining.dictionaryDF(
         graft.pipeline.Transcripts.trainSplit(Kg.built(s, d).labeled))
       dict.toDF("dict", "key", "value", "count")
+        .orderBy(col("dict"), col("key"), col("value"))
+    }),
+    // raw training-event stream (one row per event, pre-aggregation) —
+    // the input the kg_train_dict oracle re-aggregates in DuckDB, so the
+    // distributed groupByKey/count shuffle is genuinely cross-checked
+    "kg_train_events" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      graft.pipeline.Transcripts.trainSplit(Kg.built(s, d).labeled)
+        .flatMap(r => graft.semantics.NerModel.events(
+          graft.semantics.NerModel.TaggedDoc(
+            r.text, r.gold.map(graft.pipeline.MentionRow.toMention).toArray)))
+        .toDF("dict", "key", "value")
     }),
     "kg_mentions" -> ((s, d) => Kg.built(s, d).out.mentions),
     "kg_triples" -> ((s, d) => Kg.built(s, d).out.triples),
@@ -195,7 +262,20 @@ object SparkEntry {
       .select(col("canonical"), col("entity_type"),
         concat_ws("|", col("aliases")).as("aliases"), col("n_mentions"))
       .orderBy(col("canonical"), col("entity_type"))),
-    "kg_resolved_triples" -> ((s, d) => Kg.built(s, d).out.resolvedTriples),
+    // ordered so the oracle (which re-runs the whole resolve join in
+    // DuckDB from the triple + canon-map dumps) can compare row-by-row
+    "kg_resolved_triples" -> ((s, d) => Kg.built(s, d).out.resolvedTriples
+      .orderBy(col("conv_id"), col("turn_idx"), col("subj"), col("pred"),
+        col("obj"), col("subj_tag"), col("obj_tag"))),
+    // canonical map dump (norm, tag -> entity_id, canonical_norm): the
+    // small side of the resolve join, as DATA for the oracle to redo the
+    // join + normalization + coalesce logic from scratch
+    "kg_canon_map" -> ((s, d) => {
+      val b = Kg.built(s, d)
+      graft.pipeline.KgPipeline.canonicalize(b.out.nodes, b.out.components)
+        .select(col("norm"), col("tag"), col("entity_id"), col("canonical_norm"))
+        .orderBy(col("norm"), col("tag"))
+    }),
     "kg_edges" -> ((s, d) => Kg.built(s, d).out.edges
       .orderBy(col("src"), col("dst"), col("pred"))),
     // exact-count rollup twin of kg_metrics_rollup (that one demos HLL
@@ -213,7 +293,21 @@ object SparkEntry {
     "kg_role_scored" -> ((s, d) => Kg.roleScored(s, d)
       .select(col("conv_id"), col("turn_idx"), col("actual"), col("predicted"))
       .orderBy(col("conv_id"), col("turn_idx"))),
-    "kg_block_overflow" -> ((s, d) => Kg.built(s, d).out.blockOverflow),
+    // block-overflow accounting, exercised with a DEMO cap small enough
+    // that sf0.01 actually produces overflow rows (the pipeline's real
+    // MAX_BLOCK_SIZE=1000 is never exceeded at test scale — r1 passed
+    // vacuously with 0 rows); oracled against the kg_block_keys dump
+    "kg_block_overflow" -> ((s, d) =>
+      graft.pipeline.KgPipeline.candidateEdges(Kg.built(s, d).out.nodes, maxBlock = 3)._2
+        .orderBy(col("block_key"), col("tag"))),
+    // exploded blocking keys per node — input for the overflow oracle
+    "kg_block_keys" -> ((s, d) => {
+      val keysUdf = udf((norm: String) => graft.semantics.Linker.blockKeys(norm))
+      Kg.built(s, d).out.nodes
+        .withColumn("block_key", explode(keysUdf(col("norm"))))
+        .select(col("block_key"), col("tag"), col("node_id"))
+        .orderBy(col("block_key"), col("tag"), col("node_id"))
+    }),
     "kg_eval_prf" -> ((s, d) => Kg.evalPrf(s, d)),
     "kg_ner_errors" -> ((s, d) => Kg.nerErrors(s, d)),
     "kg_role_confusion" -> ((s, d) =>

@@ -328,6 +328,25 @@ object CatalogEmbed {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // exact double cosine: both engines sum the dot product strictly
+    // left-to-right over the same double-cast floats (IEEE ops are
+    // deterministic given order), sqrt/divide are correctly rounded, and
+    // ranking uses the 6dp-rounded value — bit-identical cross-engine
+    "e_knn_cosine" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos
+        |  FROM n p JOIN n c ON p.vec_id < 5 AND c.vec_id >= 5),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT probe_id, rk, neighbor_id, cos FROM ranked WHERE rk <= 3
+        |ORDER BY probe_id, rk""".stripMargin,
     "e_knn_quantized" ->
       """WITH q AS (
         |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv

@@ -26,7 +26,36 @@ object CatalogText {
     */
   val MAX_LSH_BUCKET = 64
 
+  /** Per-doc 16-hash minhash signature (one row per doc, h0..h15):
+    * computed entirely per-row (array_min over transformed shingles) —
+    * zero explode, zero shuffle. Shared by t_minhash_lsh and its
+    * signature dump t_minhash_sigs (the oracle input).
+    */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val withShingles = docs(s, d)
+      .where(size(split(col("text"), " ")) >= 3) // sequence(0,n-3) descends below 3 words
+      .withColumn("shingles", expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"))
+    val sigCols = (0 until 16).map(k =>
+      expr(s"array_min(transform(shingles, sh -> xxhash64(sh, $k)))").as(s"h$k"))
+    withShingles.select(col("doc_id") +: sigCols: _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // signature dump — the input from which the t_minhash_lsh oracle
+    // re-runs the banding join in DuckDB (band membership = equality of
+    // the band's 4 raw signature values; the xxhash64 bucket id is mere
+    // compaction, so tuple equality is the same relation)
+    "t_minhash_sigs" -> ((s, d) => minhashSigs(s, d).orderBy(col("doc_id"))),
+
+    // per-token 64-bit hashes — the input from which the t_simhash
+    // oracle re-runs the 64-bit bit-vote aggregation in DuckDB
+    "t_simhash_tokh" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))),
+
     // ------------------------------------------------------ dedup family
     // exact dedup via content hash: keeper = min doc_id per text
     "t_dedup_exact" -> ((s, d) => docs(s, d)
@@ -72,14 +101,7 @@ object CatalogText {
     // bucket (degenerate shingle signatures on near-empty docs) would
     // otherwise go quadratic at 100 TB. Mirrors KgPipeline.candidateEdges.
     "t_minhash_lsh" -> ((s, d) => {
-      val withShingles = docs(s, d)
-        .where(size(split(col("text"), " ")) >= 3) // sequence(0,n-3) descends below 3 words
-        .withColumn("shingles", expr(
-          "transform(sequence(0, size(split(text, ' ')) - 3), " +
-            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"))
-      val sigCols = (0 until 16).map(k =>
-        expr(s"array_min(transform(shingles, sh -> xxhash64(sh, $k)))").as(s"h$k"))
-      val sigs = withShingles.select(col("doc_id") +: sigCols: _*)
+      val sigs = minhashSigs(s, d)
       val bandExprs = (0 until 4).map { b =>
         val hs = (0 until 4).map(j => s"h${b * 4 + j}").mkString(", ")
         s"$b, xxhash64(CAST($b AS BIGINT), $hs)"
@@ -335,6 +357,38 @@ object CatalogText {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // LSH banding redone in DuckDB from the signature dump: band
+    // membership via raw 4-tuple equality (== bucket equality modulo
+    // xxhash64 collisions), the same >MAX_LSH_BUCKET hot-bucket
+    // exclusion, distinct ordered pairs
+    "t_minhash_lsh" ->
+      """WITH s AS (SELECT * FROM '__OUTDIR__/t_minhash_sigs/*.parquet'),
+        |b AS (
+        |  SELECT doc_id, 0 AS band, h0 AS k1, h1 AS k2, h2 AS k3, h3 AS k4 FROM s
+        |  UNION ALL SELECT doc_id, 1, h4, h5, h6, h7 FROM s
+        |  UNION ALL SELECT doc_id, 2, h8, h9, h10, h11 FROM s
+        |  UNION ALL SELECT doc_id, 3, h12, h13, h14, h15 FROM s),
+        |sz AS (SELECT band, k1, k2, k3, k4, count(*) AS n FROM b GROUP BY 1, 2, 3, 4, 5),
+        |cold AS (SELECT b.* FROM b JOIN sz USING (band, k1, k2, k3, k4) WHERE sz.n <= 64)
+        |SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+        |FROM cold a JOIN cold c
+        |  ON a.band = c.band AND a.k1 = c.k1 AND a.k2 = c.k2
+        |  AND a.k3 = c.k3 AND a.k4 = c.k4 AND a.doc_id < c.doc_id
+        |ORDER BY da, db""".stripMargin,
+    // SimHash bit-vote aggregation redone in DuckDB from the token-hash
+    // dump; (1::BIGINT << 63) overflows in DuckDB, so bit 63 uses the
+    // INT64 min literal; the HUGEINT sum is cast back (the true sum
+    // always fits: bits 0..62 max to INT64 max, bit 63 adds INT64 min)
+    "t_simhash" ->
+      """WITH th AS (SELECT doc_id, h FROM '__OUTDIR__/t_simhash_tokh/*.parquet'),
+        |v AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, unnest(generate_series(0, 63)) AS t(b) GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN
+        |    (CASE WHEN b = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |          ELSE (1::BIGINT << CAST(b AS INT)) END)
+        |  ELSE 0 END) AS BIGINT) AS simhash
+        |FROM v GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "t_dedup_exact" ->
       """SELECT n_copies, count(*) AS n_groups FROM (
         |  SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
