@@ -193,6 +193,22 @@ object SparkEntry {
         |SELECT cls, count(*) AS n FROM (
         |  SELECT cls FROM ov UNION ALL SELECT cls FROM sp UNION ALL SELECT cls FROM ms)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact skew quantiles recomputed in DuckDB (quantile_cont == Spark's
+    // exact `percentile`: sorted values, linear interpolation at p*(N-1))
+    "kg_skew_exact" ->
+      """WITH c AS (SELECT count(*) AS n FROM '__OUTDIR__/kg_turns/*.parquet' GROUP BY conv_id),
+        |m AS (SELECT count(*) AS n FROM '__OUTDIR__/kg_mentions/*.parquet' GROUP BY norm)
+        |SELECT * FROM (
+        |  SELECT 'turns_per_conv' AS dist,
+        |    array_to_string(list_transform(quantile_cont(n, [0.5, 0.9, 0.99]),
+        |      x -> CAST(round(x, 4) AS VARCHAR)), ',') AS quantiles,
+        |    max(n) AS max_n FROM c
+        |  UNION ALL
+        |  SELECT 'mentions_per_surface' AS dist,
+        |    array_to_string(list_transform(quantile_cont(n, [0.5, 0.9, 0.99]),
+        |      x -> CAST(round(x, 4) AS VARCHAR)), ',') AS quantiles,
+        |    max(n) AS max_n FROM m)
+        |ORDER BY dist""".stripMargin,
     // overflow accounting recomputed from the exploded blocking keys
     "kg_block_overflow" ->
       """SELECT block_key, tag, count(*) AS block_n
@@ -345,6 +361,21 @@ object SparkEntry {
       val entitySizes = b.out.mentions.groupBy(col("norm")).agg(count(lit(1)).as("n"))
         .agg(lit("mentions_per_surface").as("dist"), expr(qs).as("quantiles"), max(col("n")).as("max_n"))
       convSizes.unionByName(entitySizes)
+    }),
+    // exact-percentile twin of kg_skew_diagnostics: same two skew
+    // distributions via exact `percentile` (linear interpolation — the
+    // same definition as DuckDB's quantile_cont), so this one IS
+    // cross-engine oracled; the approx_percentile variant above stays
+    // rows-only (sketches have no DuckDB twin)
+    "kg_skew_exact" -> ((s, d) => {
+      val b = Kg.built(s, d)
+      val qs = "concat_ws(',', transform(percentile(n, array(0.5D, 0.9D, 0.99D)), " +
+        "x -> cast(round(x, 4) as string)))"
+      val convSizes = b.out.tagged.toDF().groupBy(col("conv_id")).agg(count(lit(1)).as("n"))
+        .agg(lit("turns_per_conv").as("dist"), expr(qs).as("quantiles"), max(col("n")).as("max_n"))
+      val entitySizes = b.out.mentions.groupBy(col("norm")).agg(count(lit(1)).as("n"))
+        .agg(lit("mentions_per_surface").as("dist"), expr(qs).as("quantiles"), max(col("n")).as("max_n"))
+      convSizes.unionByName(entitySizes).orderBy(col("dist"))
     }),
     // metrics rollup with HLL approx-distinct (rows 57-58)
     "kg_metrics_rollup" -> ((s, d) => Kg.built(s, d).out.resolvedTriples

@@ -87,6 +87,20 @@ object CatalogUdf {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // constructive oracle: the input text is synthesized per doc_id, so
+    // DuckDB re-derives each expected mention (URL token, the known date,
+    // the smiley) and the priority-ordered union analytically — an
+    // independent derivation pinning the tagger + overlap-resolution
+    // output exactly (the smiley lookaround pattern itself has no RE2
+    // twin, but its expected matches on this fixture do)
+    "u_regex_taggers" ->
+      """SELECT doc_id,
+        |  'https://kb.example.org/doc/' || doc_id AS urls,
+        |  '2021-07-0' || CAST(1 + doc_id % 9 AS VARCHAR) AS dates,
+        |  ':)' AS smileys,
+        |  'URL:https://kb.example.org/doc/' || doc_id ||
+        |    ' ; SMILEY::) ; DATE:2021-07-0' || CAST(1 + doc_id % 9 AS VARCHAR) AS unioned
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
     // DuckDB ships levenshtein + jaro_winkler_similarity natively, and
     // the trigram-set Jaccard is expressible with list ops — so the whole
     // similarity battery is cross-engine checked (r1 left it rows-only).
