@@ -102,6 +102,72 @@ object StreamingIngest {
       .as[Turn]
   }
 
+  // ----------------------------------------------- streaming near-dup
+  final case class DocBand(doc_id: Long, band: Int, bucket: Long)
+  final case class DupCandidate(da: Long, db: Long, band: Int)
+  /** Per-(band,bucket) state: member doc ids seen so far (bounded) and
+    * whether the bucket overflowed the cap.
+    */
+  final case class BucketState(members: List[Long], overflowed: Boolean)
+
+  /** Streaming MinHash near-duplicate detection (the approximate-dedup
+    * family's streaming twin of t_minhash_lsh): each arriving document is
+    * signed per-row (16 minhashes, same zero-shuffle array expressions as
+    * the batch path), unpivoted into 4 LSH bands, and matched against the
+    * band-bucket STATE — every prior member of the same bucket across all
+    * previous micro-batches yields a candidate pair, exactly once.
+    *
+    * Scale bounds, mirroring the batch path's: state per key is a bounded
+    * id list — a bucket that exceeds `maxBucket` members flips to
+    * overflowed (members dropped, nothing further emitted for it), so a
+    * degenerate hot bucket can never make state or output quadratic. The
+    * state key count is bounded by the distinct-bucket count within the
+    * retention horizon; production would add an event-time timeout to
+    * expire idle buckets past the watermark (omitted here: the memory
+    * sink test harness replays finite drops).
+    *
+    * Input: (doc_id bigint, text string). Output: candidate pairs
+    * (da < db, band) — downstream exact-Jaccard verification is the same
+    * residual join as batch.
+    */
+  def nearDupCandidates(docs: DataFrame, maxBucket: Int = 64): Dataset[DupCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withShingles = docs
+      .where(size(split(col("text"), " ")) >= 3)
+      .withColumn("shingles", expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"))
+    val sigCols = (0 until 16).map(k =>
+      expr(s"array_min(transform(shingles, sh -> xxhash64(sh, $k)))").as(s"h$k"))
+    val sigs = withShingles.select(col("doc_id") +: sigCols: _*)
+    val bandExprs = (0 until 4).map { b =>
+      val hs = (0 until 4).map(j => s"h${b * 4 + j}").mkString(", ")
+      s"$b, xxhash64(CAST($b AS BIGINT), $hs)"
+    }.mkString(", ")
+    val bands = sigs
+      .select(col("doc_id"), expr(s"stack(4, $bandExprs) AS (band, bucket)"))
+      .as[DocBand]
+    bands
+      .groupByKey(b => (b.band, b.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), rows: Iterator[DocBand], state: GroupState[BucketState]) => {
+          val st = state.getOption.getOrElse(BucketState(Nil, overflowed = false))
+          var members = st.members
+          var over = st.overflowed
+          val out = List.newBuilder[DupCandidate]
+          // deterministic within-batch order so pair emission is stable
+          for (r <- rows.toArray.sortBy(_.doc_id) if !over && !members.contains(r.doc_id)) {
+            out ++= members.map(m =>
+              DupCandidate(math.min(m, r.doc_id), math.max(m, r.doc_id), key._1))
+            members ::= r.doc_id
+            if (members.length > maxBucket) { over = true; members = Nil }
+          }
+          state.update(BucketState(members, over))
+          out.result().iterator
+        })
+  }
+
   /** Conversation assembly across micro-batches: custom state per conv
     * (flatMapGroupsWithState) emitting running (max_turn, n_mentions).
     */

@@ -107,6 +107,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming minhash near-dup finds pairs across micro-batches, once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_nd").toString
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "completely different words about another topic entirely here"
+    // drop1: 1 & 2 duplicates, 3 distinct; drop2: 4 duplicates 1/2 ACROSS
+    // the batch boundary (state!), 5 duplicates 3, 6 unique
+    Seq((1L, t1), (2L, t1), (3L, t2)).toDF("doc_id", "text").write.parquet(s"$dir/drop1")
+    Seq((4L, t1), (5L, t2), (6L, "one single unrelated utterance not matching anything"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/drop2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1") // force one micro-batch per drop
+      .parquet(s"$dir/drop*")
+    val q = StreamingIngest.nearDupCandidates(stream)
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName("nd").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("nd").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // exactly-once per (pair, band)
+    assert(rows.distinct.length == rows.length, s"duplicate emissions: ${rows.mkString(",")}")
+    val pairs = rows.map(x => (x._1, x._2)).distinct.toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L), (3L, 5L)),
+      s"unexpected candidate pairs: $pairs")
+  }
+
+  test("streaming near-dup bucket cap stops a hot bucket from going quadratic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_ndcap").toString
+    val t = "identical text shared by every single doc in this bucket"
+    Seq((1L, t), (2L, t), (3L, t), (4L, t)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/drop1")
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(s"$dir/drop*")
+    val q = StreamingIngest.nearDupCandidates(stream, maxBucket = 2)
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName("ndcap").start()
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("ndcap").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSet
+    // members 1,2,3 pair up; the bucket then overflows (3 > cap) and doc 4
+    // emits nothing — the overflow flag gates all further output
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"cap not applied: $pairs")
+  }
+
   test("conversation state tracks max turn across micro-batches") {
     import spark.implicits._
     val labeled = Transcripts.generateLabeled(spark, N)
