@@ -98,14 +98,20 @@ object CatalogEmbed {
     * builder prompt asks for beside the LSH one. Deterministic (no RNG):
     * resumable and cross-run stable. Recall gated by DedupAnnSpec.
     */
-  def annIvf(vecs: DataFrame, probeMax: Int = 20, k: Int = 3,
-      nClusters: Int = 16, nProbe: Int = 2): DataFrame = {
+  private def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
     val dot = graft.functions.NativeFunctions.dot_product _
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+  }
+
+  /** IVF coarse quantizer, factored out of annIvf so the refined centroid
+    * table can also be DUMPED for the e_ann_ivf oracle: seeds = the
+    * nClusters lowest candidate ids, one Lloyd refinement step
+    * (assign-to-nearest, per-dimension mean).
+    */
+  def ivfCentroids(vecs: DataFrame, probeMax: Int = 20, nClusters: Int = 16): DataFrame = {
     val cands = vecs.where(col("vec_id") >= probeMax)
     val seeds = cands.orderBy(col("vec_id")).limit(nClusters)
       .select(col("vec_id").as("seed_id"), col("v").as("cv"))
-    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
     // one Lloyd step: nearest seed per candidate, then per-dim means
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("seed_id"))
     val assigned0 = cands.crossJoin(broadcast(seeds))
@@ -116,19 +122,30 @@ object CatalogEmbed {
     // (seed limit + crossJoin + window + per-dim means) would otherwise
     // re-execute for EVERY downstream branch (candidate indexing, probe
     // routing) — measured 3× recompute, ~2/3 of the query's wall
-    val centroids = assigned0
+    assigned0
       .select(col("seed_id"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("seed_id"), col("dim")).agg(avg(col("x")).as("m"))
       .groupBy(col("seed_id"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, m))), e -> e.m)").as("cv"))
       .withColumnRenamed("seed_id", "cluster")
       .localCheckpoint()
-    // index candidates under the refined centroids
+  }
+
+  /** Candidate -> nearest refined centroid (the inverted-file index). */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame, probeMax: Int = 20): DataFrame = {
+    val cands = vecs.where(col("vec_id") >= probeMax)
     val wc = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cluster"))
-    val indexed = cands.crossJoin(broadcast(centroids))
+    cands.crossJoin(broadcast(centroids))
       .withColumn("dist", round(d2(col("v"), col("cv")), 9))
       .withColumn("rk", row_number().over(wc)).where(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("cluster"))
+  }
+
+  def annIvf(vecs: DataFrame, probeMax: Int = 20, k: Int = 3,
+      nClusters: Int = 16, nProbe: Int = 2): DataFrame = {
+    val dot = graft.functions.NativeFunctions.dot_product _
+    val centroids = ivfCentroids(vecs, probeMax, nClusters)
+    val indexed = ivfAssign(vecs, centroids, probeMax)
     // probes search their nProbe nearest clusters
     val probes = vecs.where(col("vec_id") < probeMax)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
@@ -167,7 +184,39 @@ object CatalogEmbed {
       .orderBy(col("keep_id"), col("dup_id"))
   }
 
+  /** (vec_id, bucket) assignments under the corpus-adaptive plane count —
+    * dumped so the e_ann_lsh oracle can re-run the multi-probe bucket
+    * join + hot-bucket cap + exact-dot top-k in DuckDB (the sign-plane
+    * projection itself is pinned by AnnRecallSpec; everything downstream
+    * of it becomes cross-engine checked).
+    */
+  def annBuckets(vecs: DataFrame): DataFrame = {
+    val planes = planesFor(vecs.count())
+    vecs.withColumn("bucket", bucketCol(planes)).select(col("vec_id"), col("bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_ann_buckets" -> ((s, d) => annBuckets(emb(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v")))
+      .orderBy(col("vec_id"))),
+
+    // IVF oracle inputs: refined centroids (values stringified — Java's
+    // shortest-roundtrip double formatting parses back to the identical
+    // bits in DuckDB) and the candidate->cluster inverted index
+    "e_ivf_centroids" -> ((s, d) => {
+      val v = emb(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      ivfCentroids(v).select(col("cluster"),
+        concat_ws(",", expr("transform(cv, x -> cast(x as string))")).as("cv_str"))
+        .orderBy(col("cluster"))
+    }),
+    "e_ivf_assign" -> ((s, d) => {
+      val v = emb(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      ivfAssign(v, ivfCentroids(v)).select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ORACLED: top-5 neighbors per probe by integer-quantized dot product
     "e_knn_quantized" -> ((s, d) => {
       val q = emb(s, d).select(col("vec_id"), expr(quantize).as("q"))
@@ -328,6 +377,66 @@ object CatalogEmbed {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // IVF ANN re-run in DuckDB from the centroid + inverted-index dumps:
+    // same probe routing (2 nearest centroids by 9dp-rounded squared
+    // distance, tie on cluster), same per-cluster candidate join, same
+    // exact-dot top-3 — the float k-means step is the only part left to
+    // the recall gate
+    "e_ann_ivf" ->
+      """WITH cen AS (
+        |  SELECT cluster,
+        |    list_transform(string_split(cv_str, ','), x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM '__OUTDIR__/e_ivf_centroids/*.parquet'),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |asg AS (SELECT vec_id, cluster FROM '__OUTDIR__/e_ivf_assign/*.parquet'),
+        |cand AS (SELECT a.vec_id, a.cluster, v.v FROM asg a JOIN v USING (vec_id)),
+        |pr AS (
+        |  SELECT p.vec_id AS probe_id, p.v AS pv, c.cluster,
+        |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |      round(list_dot_product(p.v, p.v) - 2.0 * list_dot_product(p.v, c.cv)
+        |        + list_dot_product(c.cv, c.cv), 9) ASC, c.cluster) AS crk
+        |  FROM v p CROSS JOIN cen c WHERE p.vec_id < 20),
+        |probes AS (SELECT probe_id, pv, cluster FROM pr WHERE crk <= 2),
+        |scored AS (
+        |  SELECT probe_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(pv, c.v), 6) AS dot
+        |  FROM probes p JOIN cand c USING (cluster)),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id, dot,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT probe_id, rk, neighbor_id, dot FROM ranked WHERE rk <= 3
+        |ORDER BY probe_id, rk""".stripMargin,
+    // ANN re-run in DuckDB from the bucket-assignment dump: same
+    // multi-probe expansion (home bucket + every single-bit flip of the
+    // 8-plane code), same >256 hot-bucket exclusion computed over the
+    // candidate side, same exact-dot top-3 on the 6dp-rounded score —
+    // everything downstream of the sign-plane projection cross-checked
+    "e_ann_lsh" ->
+      """WITH b AS (SELECT vec_id, bucket FROM '__OUTDIR__/e_ann_buckets/*.parquet'),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |hot AS (SELECT bucket FROM b WHERE vec_id >= 20
+        |        GROUP BY bucket HAVING count(*) > 256),
+        |cand AS (
+        |  SELECT b.vec_id, b.bucket, v.v FROM b JOIN v USING (vec_id)
+        |  WHERE b.vec_id >= 20 AND b.bucket NOT IN (SELECT bucket FROM hot)),
+        |probes AS (
+        |  SELECT b.vec_id AS probe_id, v.v AS pv,
+        |    unnest(list_distinct(list_concat([b.bucket],
+        |      list_transform(generate_series(0, 7), p -> xor(b.bucket, 1::BIGINT << p))))) AS bucket
+        |  FROM b JOIN v USING (vec_id) WHERE b.vec_id < 20),
+        |scored AS (
+        |  SELECT probe_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(pv, c.v), 6) AS dot
+        |  FROM probes p JOIN cand c ON p.bucket = c.bucket),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id, dot,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT probe_id, rk, neighbor_id, dot FROM ranked WHERE rk <= 3
+        |ORDER BY probe_id, rk""".stripMargin,
     // exact double cosine: both engines sum the dot product strictly
     // left-to-right over the same double-cast floats (IEEE ops are
     // deterministic given order), sqrt/divide are correctly rounded, and
