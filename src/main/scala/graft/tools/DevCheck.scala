@@ -8,6 +8,7 @@ import graft.semantics._
 object DevCheck {
   def main(args: Array[String]): Unit = {
     if (args.contains("probe")) { probe(); return }
+    if (args.contains("flagship")) { flagshipProfile(); return }
     val corpus = TranscriptGen.corpus(60)
     val train = corpus.filterNot(lt => TranscriptGen.isEval(lt.turn.conv_id.drop(1).toLong))
     val eval = corpus.filter(lt => TranscriptGen.isEval(lt.turn.conv_id.drop(1).toLong))
@@ -36,6 +37,45 @@ object DevCheck {
       val ids = p.flatMap(surfToEntity.get)
       if (ids.size > 1) println(s"MERGE ids=$ids surfaces=$p")
     }
+  }
+
+  /** Per-stage wall breakdown of the flagship job at bench scale —
+    * finds which stage dominates kg_flagship_build (dev-only).
+    */
+  def flagshipProfile(): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[flagship] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val nConvs = graft.pipeline.Transcripts.convsForSfDir("/root/testdata/sf0.1")
+    val labeled = graft.pipeline.Transcripts.generateLabeled(spark, nConvs).cache()
+    t("generate+cache")(labeled.count())
+    val model = t("train")(graft.pipeline.NerTraining.trainModel(
+      graft.pipeline.Transcripts.trainSplit(labeled)))
+    val bc = spark.sparkContext.broadcast(model)
+    val turns = labeled.map(r =>
+      graft.corpus.Turn(r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts))
+    val tagged = graft.pipeline.KgPipeline.tagTurns(turns, bc).cache()
+    t("tag+cache")(tagged.count())
+    val out = t("link+resolve plan")(graft.pipeline.KgPipeline.runTagged(spark, tagged))
+    t("tagged recount (cache read)")(tagged.count())
+    t("mentions count")(out.mentions.count())
+    t("triples count")(out.triples.count())
+    t("nodes count (cached)")(out.nodes.count())
+    t("components count")(out.components.count())
+    t("resolvedTriples count")(out.resolvedTriples.cache().count())
+    t("entities count")(out.entities.count())
+    t("resolvedTriples recount (cache read)")(out.resolvedTriples.count())
+    spark.stop()
   }
 
   /** Edge-case probes: empty corpus, surrogate pairs, garbage input. */
