@@ -209,6 +209,14 @@ object SparkEntry {
         |      x -> CAST(round(x, 4) AS VARCHAR)), ',') AS quantiles,
         |    max(n) AS max_n FROM m)
         |ORDER BY dist""".stripMargin,
+    // every manifest row recomputed in DuckDB from the bucket-hash dump:
+    // same per-bucket count and order-independent bit_xor fingerprint —
+    // the materialize/lineage protocol's numbers are cross-engine checked
+    "kg_materialize" ->
+      """SELECT CAST(conv_bucket AS BIGINT) AS bucket, count(*) AS "rows",
+        |  bit_xor(h) AS fingerprint, 'v1' AS config
+        |FROM '__OUTDIR__/kg_bucket_hashes/*.parquet'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // overflow accounting recomputed from the exploded blocking keys
     "kg_block_overflow" ->
       """SELECT block_key, tag, count(*) AS block_n
@@ -401,6 +409,14 @@ object SparkEntry {
           |  count(*) AS n
           |FROM mentions_v GROUP BY norm ORDER BY norm""".stripMargin)
     }),
+    // per-triple (bucket, content hash) — the input from which the
+    // kg_materialize oracle recomputes every manifest row (count +
+    // bit_xor fingerprint) in DuckDB, cross-checking the partitioned
+    // write + manifest protocol end-to-end
+    "kg_bucket_hashes" -> ((s, d) =>
+      graft.pipeline.GraphSink.bucketed(Kg.built(s, d).out.resolvedTriples, 16)
+        .select(col("conv_bucket"),
+          xxhash64(col("conv_id"), col("turn_idx"), col("subj"), col("pred"), col("obj")).as("h"))),
     "kg_materialize" -> ((s, d) => {
       val b = Kg.built(s, d)
       // fresh target per invocation: a leftover _manifests dir from an
