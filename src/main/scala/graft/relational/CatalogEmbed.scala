@@ -53,9 +53,15 @@ object CatalogEmbed {
     * Each plane projection is a native codegen'd dot product against a
     * literal sign array — no interpreted higher-order lambdas.
     */
-  private def bucketCol(n: Int): org.apache.spark.sql.Column = {
-    val projections = (0 until n).map { p =>
-      val signs = lit((0 until MAX_DIM).map(i => planeSign(p, i)).toArray)
+  private def bucketCol(n: Int): org.apache.spark.sql.Column = bucketColPlanes(0, n)
+
+  /** Sign-bit code over planes [from, from+count) — bands of the banded
+    * cosine-dedup use disjoint plane ranges so their codes are
+    * independent.
+    */
+  private def bucketColPlanes(from: Int, count: Int): org.apache.spark.sql.Column = {
+    val projections = (0 until count).map { j =>
+      val signs = lit((0 until MAX_DIM).map(i => planeSign(from + j, i)).toArray)
       graft.functions.NativeFunctions.dot_product(col("v"), signs)
     }
     projections.zipWithIndex
@@ -164,23 +170,48 @@ object CatalogEmbed {
       .orderBy(col("probe_id"), col("rk"))
   }
 
-  /** Embedding-cosine near-duplicate pairs over (vec_id, v): sign-bit
-    * LSH bucket join (capped) + exact cosine residual >= `minCos`.
-    * Exposed for CosineDupeSpec to run on fixture data.
+  /** Embedding-cosine near-duplicate pairs over (vec_id, v): BANDED
+    * sign-bit LSH (the minhash-banding idea applied to hyperplane
+    * codes) + exact cosine residual >= `minCos`.
+    *
+    * Why bands: a single wide code trades recall against bucket size —
+    * more planes shrink buckets but a true near-dup pair at cosine c
+    * lands in the same bucket only with P = (1 - acos(c)/π)^planes,
+    * which collapses as planes grow; fewer planes go hot. B independent
+    * r-plane codes keep per-band buckets small (capped anyway) while
+    * any-band collision recovers recall: 1 - (1 - p^r)^B. With B=4,
+    * r=8, pairs at cosine 0.9 are caught with ~76% per the formula and
+    * ≥0.999 near c→1; the DedupAnnSpec planted-pair gate pins it.
+    * Candidate pairs are deduped ACROSS bands before the exact-cosine
+    * join, so each pair is verified once.
     */
-  def cosineDupes(vecs: DataFrame, minCos: Double = 0.9): DataFrame = {
-    val withNorm = vecs.withColumn("nrm", sqrt(graft.functions.NativeFunctions.dot_product(col("v"), col("v"))))
-      .withColumn("bucket", bucketCol(8))
-    val hot = withNorm.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_n"))
+  def cosineDupes(vecs: DataFrame, minCos: Double = 0.9,
+      bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
+    val dot = graft.functions.NativeFunctions.dot_product _
+    val withNorm = vecs.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // stack() needs named columns — route the band codes through a select
+    val coded = withNorm.select(
+      (col("vec_id") +: (0 until bands).map(b =>
+        bucketColPlanes(b * rowsPerBand, rowsPerBand).as(s"bk$b"))): _*)
+    val unpivot = coded.select(col("vec_id"), expr(
+      s"stack($bands, ${(0 until bands).map(b => s"$b, bk$b").mkString(", ")}) AS (band, bucket)"))
+    val hot = unpivot.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > MAX_ANN_BUCKET)
-    val cold = withNorm.join(broadcast(hot.select(col("bucket"))), Seq("bucket"), "left_anti")
-    cold.as("a").join(cold.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(
-        graft.functions.NativeFunctions.dot_product(col("a.v"), col("b.v")) /
-          (col("a.nrm") * col("b.nrm")), 6))
+    val cold = unpivot.join(broadcast(hot.select(col("band"), col("bucket"))),
+      Seq("band", "bucket"), "left_anti")
+    val cand = cold.as("a").join(cold.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("dup_id"))
+      .distinct()
+    val side = withNorm.select(col("vec_id"), col("v"), col("nrm"))
+    cand
+      .join(side.select(col("vec_id").as("keep_id"), col("v").as("va"), col("nrm").as("na")), "keep_id")
+      .join(side.select(col("vec_id").as("dup_id"), col("v").as("vb"), col("nrm").as("nb")), "dup_id")
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .where(col("cos") >= minCos)
-      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("dup_id"), col("cos"))
+      .select(col("keep_id"), col("dup_id"), col("cos"))
       .orderBy(col("keep_id"), col("dup_id"))
   }
 
