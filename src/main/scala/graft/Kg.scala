@@ -39,6 +39,19 @@ object Kg {
   }
 
   private val roleCache = TrieMap.empty[String, DataFrame]
+  private val roleModelCache = TrieMap.empty[String, graft.semantics.DictModel]
+
+  /** The trained role model, cached per sfDir — shared by roleScored and
+    * the kg_role_model/kg_role_priors oracle dumps.
+    */
+  def roleModel(spark: SparkSession, sfDir: String): graft.semantics.DictModel =
+    roleModelCache.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val b = built(spark, sfDir)
+      val turns = b.labeled.map(r =>
+        graft.corpus.Turn(r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts))
+      pipeline.ClassifyStage.train(turns)
+    })
 
   /** Role classification (dictionary classifier train+score) with results
     * cached per sfDir (SURVEY.md §2 rows 34–35 pipeline twin).
@@ -52,8 +65,8 @@ object Kg {
       // agg, doc counts, score), which dominated kg_role_accuracy's 14.6 s
       val turns = b.labeled.map(r =>
         graft.corpus.Turn(r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts))
-      val model = pipeline.ClassifyStage.train(turns)
-      pipeline.ClassifyStage.score(turns, model, graft.semantics.BayesScorer).cache()
+      pipeline.ClassifyStage.score(turns, roleModel(spark, sfDir),
+        graft.semantics.BayesScorer).cache()
     })
 
   /** NER error classes on the eval split (SURVEY.md §2 row 38). */

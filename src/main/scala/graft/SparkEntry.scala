@@ -209,6 +209,39 @@ object SparkEntry {
         |      x -> CAST(round(x, 4) AS VARCHAR)), ',') AS quantiles,
         |    max(n) AS max_n FROM m)
         |ORDER BY dist""".stripMargin,
+    // the Bayes role classifier recomputed from scratch in DuckDB: for
+    // every turn × category, score = ln(max(prior, 1e-12)) + Σ_terms
+    // ln((n+1)/(cat_total+V)) over the dumped per-occurrence features and
+    // model tables, argmax with the classifier's tie-break (largest
+    // category name). Normalization is monotonic so the argmax is the
+    // prediction; margins in log space are O(1), far above cross-engine
+    // float-summation noise.
+    "kg_role_scored" ->
+      """WITH t AS (SELECT conv_id, turn_idx, actual FROM '__OUTDIR__/kg_role_scored/*.parquet'),
+        |f AS (SELECT conv_id, turn_idx, term FROM '__OUTDIR__/kg_role_features/*.parquet'),
+        |m AS (SELECT term, cat, n FROM '__OUTDIR__/kg_role_model/*.parquet'),
+        |p AS (SELECT cat, n_docs, cat_total, total_docs, vocab_size
+        |      FROM '__OUTDIR__/kg_role_priors/*.parquet'),
+        |tl AS (
+        |  SELECT f.conv_id, f.turn_idx, p.cat,
+        |    sum(ln((coalesce(m.n, 0) + 1.0) / (p.cat_total + greatest(p.vocab_size, 1))))
+        |      AS s
+        |  FROM f CROSS JOIN p
+        |  LEFT JOIN m ON m.term = f.term AND m.cat = p.cat
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT t.conv_id, t.turn_idx, t.actual, p.cat,
+        |    ln(greatest(p.n_docs * 1.0 / p.total_docs, 1e-12)) + coalesce(tl.s, 0.0) AS score
+        |  FROM t CROSS JOIN p
+        |  LEFT JOIN tl ON tl.conv_id = t.conv_id AND tl.turn_idx = t.turn_idx
+        |    AND tl.cat = p.cat),
+        |best AS (
+        |  SELECT conv_id, turn_idx, actual, cat,
+        |    row_number() OVER (PARTITION BY conv_id, turn_idx
+        |      ORDER BY score DESC, cat DESC) AS rk
+        |  FROM scored)
+        |SELECT conv_id, turn_idx, actual, cat AS predicted FROM best WHERE rk = 1
+        |ORDER BY conv_id, turn_idx""".stripMargin,
     // every manifest row recomputed in DuckDB from the bucket-hash dump:
     // same per-bucket count and order-independent bit_xor fingerprint —
     // the materialize/lineage protocol's numbers are cross-engine checked
@@ -321,6 +354,36 @@ object SparkEntry {
     // that sf0.01 actually produces overflow rows (the pipeline's real
     // MAX_BLOCK_SIZE=1000 is never exceeded at test scale — r1 passed
     // vacuously with 0 rows); oracled against the kg_block_keys dump
+    // role-scoring oracle inputs: per-occurrence term features, the
+    // trained dictionary (term, cat, n), and the model constants — so
+    // DuckDB can recompute every turn's Bayes argmax from scratch
+    "kg_role_features" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      Kg.built(s, d).labeled
+        .flatMap(r => graft.semantics.NGrams.terms(r.text, graft.pipeline.ClassifyStage.fs)
+          .map(term => (r.conv_id, r.turn_idx, term)))
+        .toDF("conv_id", "turn_idx", "term")
+    }),
+    "kg_role_model" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val m = Kg.roleModel(s, d)
+      m.dict.iterator
+        .flatMap { case (term, cats) => cats.map { case (c, n) => (term, c, n.toLong) } }
+        .toSeq.toDF("term", "cat", "n")
+        .orderBy(col("term"), col("cat"))
+    }),
+    "kg_role_priors" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val m = Kg.roleModel(s, d)
+      m.categories.toSeq.map(c =>
+          (c, m.categoryDocCounts.getOrElse(c, 0L), m.categoryTermCounts.getOrElse(c, 0L),
+            m.numDocs, m.vocabularySize))
+        .toDF("cat", "n_docs", "cat_total", "total_docs", "vocab_size")
+        .orderBy(col("cat"))
+    }),
     "kg_block_overflow" -> ((s, d) =>
       graft.pipeline.KgPipeline.candidateEdges(Kg.built(s, d).out.nodes, maxBlock = 3)._2
         .orderBy(col("block_key"), col("tag"))),
