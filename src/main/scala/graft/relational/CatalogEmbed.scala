@@ -185,16 +185,38 @@ object CatalogEmbed {
     * Candidate pairs are deduped ACROSS bands before the exact-cosine
     * join, so each pair is verified once.
     */
+  /** (vec_id, band, bucket) band-code assignments — the candidate-pair
+    * relation of the banded dedup, also dumped for its oracle.
+    */
+  def bandedCodes(vecs: DataFrame, bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
+    // stack() needs named columns — route the band codes through a select
+    val coded = vecs.select(
+      (col("vec_id") +: (0 until bands).map(b =>
+        bucketColPlanes(b * rowsPerBand, rowsPerBand).as(s"bk$b"))): _*)
+    coded.select(col("vec_id"), expr(
+      s"stack($bands, ${(0 until bands).map(b => s"$b, bk$b").mkString(", ")}) AS (band, bucket)"))
+  }
+
+  /** The e_cosine_dupes input: driver embeddings PLUS deterministic
+    * planted near-duplicates (ids +100000, ±1% noise) — the testdata's
+    * max natural off-diagonal cosine is 0.51, so without planting the
+    * operator would be vacuously row-free (r1).
+    */
+  def dupeInput(s: SparkSession, d: String): DataFrame = {
+    val base = emb(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val planted = base.where(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("zip_with(v, sequence(0, size(v) - 1), (x, i) -> " +
+          "x + 0.02 * (pmod(xxhash64(i, vec_id), 100) / 100.0 - 0.5))").as("v"))
+    base.unionByName(planted)
+  }
+
   def cosineDupes(vecs: DataFrame, minCos: Double = 0.9,
       bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
     val dot = graft.functions.NativeFunctions.dot_product _
     val withNorm = vecs.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    // stack() needs named columns — route the band codes through a select
-    val coded = withNorm.select(
-      (col("vec_id") +: (0 until bands).map(b =>
-        bucketColPlanes(b * rowsPerBand, rowsPerBand).as(s"bk$b"))): _*)
-    val unpivot = coded.select(col("vec_id"), expr(
-      s"stack($bands, ${(0 until bands).map(b => s"$b, bk$b").mkString(", ")}) AS (band, bucket)"))
+    val unpivot = bandedCodes(vecs, bands, rowsPerBand)
     val hot = unpivot.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > MAX_ANN_BUCKET)
@@ -316,15 +338,17 @@ object CatalogEmbed {
     // "correct"). Ten deterministic perturbed copies of vec_id < 10
     // (ids +100000, component noise ±1% from xxhash64) sit at cosine
     // ≈ 0.999 to their sources; finding them proves the path end-to-end.
-    "e_cosine_dupes" -> ((s, d) => {
-      val base = emb(s, d).select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val planted = base.where(col("vec_id") < 10)
-        .select((col("vec_id") + 100000).as("vec_id"),
-          expr("zip_with(v, sequence(0, size(v) - 1), (x, i) -> " +
-            "x + 0.02 * (pmod(xxhash64(i, vec_id), 100) / 100.0 - 0.5))").as("v"))
-      cosineDupes(base.unionByName(planted), 0.9)
-    }),
+    "e_cosine_dupes" -> ((s, d) => cosineDupes(dupeInput(s, d), 0.9)),
+
+    // oracle inputs for e_cosine_dupes: the planted-union vectors
+    // (stringified) and their band-code assignments — DuckDB re-runs the
+    // capped band join + exact-cosine residual from these
+    "e_dupe_vecs" -> ((s, d) => dupeInput(s, d)
+      .select(col("vec_id"),
+        concat_ws(",", expr("transform(v, x -> cast(x as string))")).as("v_str"))
+      .orderBy(col("vec_id"))),
+    "e_dupe_bands" -> ((s, d) => bandedCodes(dupeInput(s, d))
+      .orderBy(col("vec_id"), col("band"))),
 
     // KNN classifier baseline (SURVEY.md §2 row 41): majority label of
     // the 5 nearest neighbors (quantized dot), ORACLED
@@ -395,10 +419,14 @@ object CatalogEmbed {
         .as[(Long, Array[Byte], String)]
         .mapPartitions { it =>
           // STUB decoder: real systems would decode image bytes here; the
-          // batch shape, schema and partitioning are the real thing.
+          // batch shape, schema and partitioning are the real thing. The
+          // fake features are deliberately overflow-free arithmetic over
+          // the payload (length scramble + unsigned byte sum) so the
+          // whole stub is cross-engine ORACLED — DuckDB recomputes both
+          // from the same bytes.
           it.map { case (id, bytes, mime) =>
-            val fakeW = 16 + (math.abs(bytes.length * 2654435761L) % 1024).toInt
-            val fakeH = 16 + (math.abs(bytes.foldLeft(17L)((a, b) => a * 31 + b)) % 768).toInt
+            val fakeW = 16 + ((bytes.length.toLong * 2654435761L) % 1024).toInt
+            val fakeH = 16 + (bytes.foldLeft(0L)((a, b) => a + (b & 0xff)) % 768).toInt
             (id, mime, bytes.length, fakeW, fakeH)
           }
         }
@@ -408,6 +436,39 @@ object CatalogEmbed {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the multimodal stub's fake decoder recomputed in DuckDB from the
+    // same payload bytes (documents are ASCII, so chars == octets)
+    "m_multimodal_stub" ->
+      """SELECT doc_id, 'text/fake-image' AS mime,
+        |  CAST(strlen(text) AS INT) AS n_bytes,
+        |  CAST(16 + (strlen(text) * 2654435761) % 1024 AS INT) AS fake_width,
+        |  CAST(16 + list_sum(list_transform(generate_series(1, length(text)),
+        |    i -> ascii(substring(text, i, 1)))) % 768 AS INT) AS fake_height
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // banded near-dup re-run in DuckDB from the vector + band-code dumps:
+    // same >256 per-(band,bucket) cap, candidate pairs deduped across
+    // bands, same exact-cosine residual on the rebuilt doubles
+    "e_cosine_dupes" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(string_split(v_str, ','), x -> CAST(x AS DOUBLE)) AS v
+        |  FROM '__OUTDIR__/e_dupe_vecs/*.parquet'),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        |b AS (SELECT vec_id, band, bucket FROM '__OUTDIR__/e_dupe_bands/*.parquet'),
+        |hot AS (SELECT band, bucket FROM b GROUP BY 1, 2 HAVING count(*) > 256),
+        |cold AS (SELECT b.* FROM b ANTI JOIN hot
+        |  ON b.band = hot.band AND b.bucket = hot.bucket),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS keep_id, c.vec_id AS dup_id
+        |  FROM cold a JOIN cold c
+        |    ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+        |scored AS (
+        |  SELECT cand.keep_id, cand.dup_id,
+        |    round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
+        |  FROM cand JOIN n x ON x.vec_id = cand.keep_id
+        |            JOIN n y ON y.vec_id = cand.dup_id)
+        |SELECT keep_id, dup_id, cos FROM scored WHERE cos >= 0.9
+        |ORDER BY keep_id, dup_id""".stripMargin,
     // IVF ANN re-run in DuckDB from the centroid + inverted-index dumps:
     // same probe routing (2 nearest centroids by 9dp-rounded squared
     // distance, tie on cluster), same per-cluster candidate join, same
