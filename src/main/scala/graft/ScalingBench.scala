@@ -165,7 +165,10 @@ object ScalingBench {
       // (scheduler + final agg), which otherwise caps measurable speedup
       // at this corpus size regardless of the engine's scaling.
       // Optional "stage <lo> <hi>" overrides the parallelism pair.
-      val lo = if (args.length > 1) args(1).toInt else 4
+      // Default 2 vs 8: stays inside the box's physical-core envelope
+      // (see BENCH/BASELINE.md calibration) and matches the recorded
+      // artifact's documented protocol.
+      val lo = if (args.length > 1) args(1).toInt else 2
       val hi = if (args.length > 2) args(2).toInt else lo * 4
       stageMode(nConvs * 4, lo, hi)
       return
