@@ -132,6 +132,36 @@ class StreamingSpec extends AnyFunSuite {
       s"unexpected candidate pairs: $pairs")
   }
 
+  test("streaming near-dup == batch minhash-LSH banding pairs on the same docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_ndpar").toString
+    // realistic mix: two near-dup families (shared shingles), singletons,
+    // and a short doc the shingle guard must skip — buckets stay under
+    // both paths' caps, where batch and streaming semantics coincide
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 10L),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda", "en", "s", 10L),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 10L),
+      (4L, "one two three four five six seven eight nine ten", "en", "s", 10L),
+      (5L, "one two three four five six seven eight nine eleven", "en", "s", 10L),
+      (6L, "completely unrelated content with no shared shingles at all", "en", "s", 10L),
+      (7L, "tiny doc", "en", "s", 2L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val batch = graft.relational.CatalogText.queries("t_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(s"$dir/documents.parquet")
+    val q = StreamingIngest.nearDupCandidates(stream)
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName("ndpar").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ndpar").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: stream=$streamed batch=$batch")
+    assert(batch.contains((1L, 3L)), "exact dup pair must be present in both")
+  }
+
   test("streaming near-dup bucket cap stops a hot bucket from going quadratic") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream_ndcap").toString
