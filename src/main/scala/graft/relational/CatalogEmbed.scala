@@ -53,15 +53,20 @@ object CatalogEmbed {
     * Each plane projection is a native codegen'd dot product against a
     * literal sign array — no interpreted higher-order lambdas.
     */
-  private def bucketCol(n: Int): org.apache.spark.sql.Column = bucketColPlanes(0, n)
+  private def bucketCol(n: Int, dims: Int = MAX_DIM): org.apache.spark.sql.Column =
+    bucketColPlanes(0, n, dims)
 
   /** Sign-bit code over planes [from, from+count) — bands of the banded
     * cosine-dedup use disjoint plane ranges so their codes are
-    * independent.
+    * independent. `dims` sizes the literal sign arrays: dot_product
+    * truncates to the shorter side, so any dims >= the vector width
+    * yields IDENTICAL codes — a right-sized literal just avoids shipping
+    * and compiling 512 constants per projection when the data is 64-wide
+    * (the dominant first-run cost is JVM/codegen warmup either way).
     */
-  private def bucketColPlanes(from: Int, count: Int): org.apache.spark.sql.Column = {
+  private def bucketColPlanes(from: Int, count: Int, dims: Int = MAX_DIM): org.apache.spark.sql.Column = {
     val projections = (0 until count).map { j =>
-      val signs = lit((0 until MAX_DIM).map(i => planeSign(from + j, i)).toArray)
+      val signs = lit((0 until dims).map(i => planeSign(from + j, i)).toArray)
       graft.functions.NativeFunctions.dot_product(col("v"), signs)
     }
     projections.zipWithIndex
@@ -74,9 +79,10 @@ object CatalogEmbed {
     * per-bucket cap, exact-dot top-k within the probed buckets. Exposed
     * for the recall gate (AnnRecallSpec) to run on fixture data.
     */
-  def annLsh(vecs: DataFrame, probeMax: Int = 20, k: Int = 3, nPlanes: Int = 0): DataFrame = {
+  def annLsh(vecs: DataFrame, probeMax: Int = 20, k: Int = 3, nPlanes: Int = 0,
+      dims: Int = MAX_DIM): DataFrame = {
     val planes = if (nPlanes > 0) nPlanes else planesFor(vecs.count())
-    val bucketed = vecs.withColumn("bucket", bucketCol(planes))
+    val bucketed = vecs.withColumn("bucket", bucketCol(planes, dims))
     val candAll = bucketed.where(col("vec_id") >= probeMax)
     val hot = candAll.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > MAX_ANN_BUCKET)
@@ -188,11 +194,12 @@ object CatalogEmbed {
   /** (vec_id, band, bucket) band-code assignments — the candidate-pair
     * relation of the banded dedup, also dumped for its oracle.
     */
-  def bandedCodes(vecs: DataFrame, bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
+  def bandedCodes(vecs: DataFrame, bands: Int = 4, rowsPerBand: Int = 8,
+      dims: Int = MAX_DIM): DataFrame = {
     // stack() needs named columns — route the band codes through a select
     val coded = vecs.select(
       (col("vec_id") +: (0 until bands).map(b =>
-        bucketColPlanes(b * rowsPerBand, rowsPerBand).as(s"bk$b"))): _*)
+        bucketColPlanes(b * rowsPerBand, rowsPerBand, dims).as(s"bk$b"))): _*)
     coded.select(col("vec_id"), expr(
       s"stack($bands, ${(0 until bands).map(b => s"$b, bk$b").mkString(", ")}) AS (band, bucket)"))
   }
@@ -213,10 +220,10 @@ object CatalogEmbed {
   }
 
   def cosineDupes(vecs: DataFrame, minCos: Double = 0.9,
-      bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 8, dims: Int = MAX_DIM): DataFrame = {
     val dot = graft.functions.NativeFunctions.dot_product _
     val withNorm = vecs.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val unpivot = bandedCodes(vecs, bands, rowsPerBand)
+    val unpivot = bandedCodes(vecs, bands, rowsPerBand, dims)
     val hot = unpivot.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > MAX_ANN_BUCKET)
@@ -243,14 +250,15 @@ object CatalogEmbed {
     * projection itself is pinned by AnnRecallSpec; everything downstream
     * of it becomes cross-engine checked).
     */
-  def annBuckets(vecs: DataFrame): DataFrame = {
+  def annBuckets(vecs: DataFrame, dims: Int = MAX_DIM): DataFrame = {
     val planes = planesFor(vecs.count())
-    vecs.withColumn("bucket", bucketCol(planes)).select(col("vec_id"), col("bucket"))
+    vecs.withColumn("bucket", bucketCol(planes, dims)).select(col("vec_id"), col("bucket"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_ann_buckets" -> ((s, d) => annBuckets(emb(s, d)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v")))
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v")),
+      dims = 64)
       .orderBy(col("vec_id"))),
 
     // IVF oracle inputs: refined centroids (values stringified — Java's
@@ -313,7 +321,8 @@ object CatalogEmbed {
     // scale. Recall vs the exact KNN baseline is gated by
     // AnnRecallSpec (>= 0.9 on a planted-neighbor fixture).
     "e_ann_lsh" -> ((s, d) => annLsh(emb(s, d)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v")))),
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v")),
+      dims = 64)),
 
     // IVF ANN scale path (rows-only — float k-means has no DuckDB twin);
     // recall gated vs exact KNN by DedupAnnSpec
@@ -338,7 +347,7 @@ object CatalogEmbed {
     // "correct"). Ten deterministic perturbed copies of vec_id < 10
     // (ids +100000, component noise ±1% from xxhash64) sit at cosine
     // ≈ 0.999 to their sources; finding them proves the path end-to-end.
-    "e_cosine_dupes" -> ((s, d) => cosineDupes(dupeInput(s, d), 0.9)),
+    "e_cosine_dupes" -> ((s, d) => cosineDupes(dupeInput(s, d), 0.9, dims = 64)),
 
     // oracle inputs for e_cosine_dupes: the planted-union vectors
     // (stringified) and their band-code assignments — DuckDB re-runs the
@@ -347,7 +356,7 @@ object CatalogEmbed {
       .select(col("vec_id"),
         concat_ws(",", expr("transform(v, x -> cast(x as string))")).as("v_str"))
       .orderBy(col("vec_id"))),
-    "e_dupe_bands" -> ((s, d) => bandedCodes(dupeInput(s, d))
+    "e_dupe_bands" -> ((s, d) => bandedCodes(dupeInput(s, d), dims = 64)
       .orderBy(col("vec_id"), col("band"))),
 
     // KNN classifier baseline (SURVEY.md §2 row 41): majority label of
