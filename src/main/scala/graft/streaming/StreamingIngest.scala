@@ -190,6 +190,58 @@ object StreamingIngest {
         })
   }
 
+  // -------------------------------------------- streaming graph sink
+  /** Streaming triple materialization with exactly-once micro-batches:
+    * foreachBatch writes each batch's triples to a batch-scoped
+    * directory (directory-atomic) and then commits a manifest JSON
+    * {batch, rows, fingerprint} via temp-file rename — the GraphSink
+    * protocol applied to the stream. Structured Streaming replays a
+    * failed batch WITH THE SAME batchId, so the manifest check makes
+    * re-delivery a no-op: a batch is either fully committed (manifest
+    * present) or fully re-written (directory overwritten), never
+    * duplicated. The triples table is the union of batch=* directories;
+    * per-batch manifests are the stream's lineage/metrics channel.
+    */
+  def sinkTriples(tagged: Dataset[TaggedRow], outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged
+      .select($"conv_id", $"turn_idx", $"ts", explode($"triples").as("t"))
+      .select($"conv_id", $"turn_idx", $"ts",
+        $"t.subj", $"t.pred", $"t.obj", $"t.subj_tag", $"t.obj_tag")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        writeBatch(batch, outDir, batchId)
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .start()
+  }
+
+  /** One batch commit (factored out so the idempotence spec can replay
+    * a batchId directly): skip if manifested, else overwrite the batch
+    * directory and rename-commit the manifest.
+    */
+  def writeBatch(batch: org.apache.spark.sql.DataFrame, outDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val hfs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val manifest = new org.apache.hadoop.fs.Path(s"$outDir/_manifests/stream-batch-$batchId.json")
+    if (hfs.exists(manifest)) return // already committed — replay is a no-op
+    val stats = batch
+      .agg(count(lit(1)).as("rows"),
+        expr("bit_xor(xxhash64(conv_id, turn_idx, subj, pred, obj))").as("fp"))
+      .collect()(0)
+    batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/triples/batch=$batchId")
+    val json = s"""{"batch":$batchId,"rows":${stats.getLong(0)},"fingerprint":${
+      if (stats.isNullAt(1)) 0L else stats.getLong(1)}}"""
+    hfs.mkdirs(manifest.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(s"$outDir/_manifests/.stream-batch-$batchId.json.tmp")
+    val out = hfs.create(tmp, true)
+    out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    hfs.rename(tmp, manifest) // rename-as-commit
+  }
+
   /** Run one synchronous pass over whatever files exist (memory sink) —
     * the local smoke path; production would use a real sink + trigger.
     */

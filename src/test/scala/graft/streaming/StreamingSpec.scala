@@ -179,6 +179,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"cap not applied: $pairs")
   }
 
+  test("streaming graph sink: exactly-once batches, manifests, batch parity") {
+    import spark.implicits._
+    val labeled = Transcripts.generateLabeled(spark, N)
+    val model = NerTraining.trainAndBroadcast(spark, Transcripts.trainSplit(labeled))
+    val inDir = java.nio.file.Files.createTempDirectory("stream_sink_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("stream_sink_out").toString
+    val all = Transcripts.generate(spark, N).cache()
+    all.where($"conv_id" < "c0000010").write.parquet(s"$inDir/drop1")
+    all.where($"conv_id" >= "c0000010").write.parquet(s"$inDir/drop2")
+    val stream = StreamingIngest.tagStream(
+      StreamingIngest.readTurns(spark, s"$inDir/drop*").repartition(2), model)
+    val q = StreamingIngest.sinkTriples(stream, outDir)
+    q.processAllAvailable(); q.stop()
+
+    // written triples == the batch pipeline's triples on the same input
+    val got = spark.read.parquet(s"$outDir/triples")
+      .select("conv_id", "turn_idx", "subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3), r.getString(4)))
+    val want = graft.pipeline.KgPipeline.tripleRows(
+        graft.pipeline.KgPipeline.tagTurns(all, model))
+      .select("conv_id", "turn_idx", "subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3), r.getString(4)))
+    assert(got.sorted.toSeq == want.sorted.toSeq,
+      s"stream sink rows (${got.length}) != batch rows (${want.length})")
+
+    // per-batch manifests committed, rows accounted
+    val manifests = spark.read.json(s"$outDir/_manifests")
+    assert(manifests.count() >= 1)
+    assert(manifests.agg(org.apache.spark.sql.functions.sum($"rows")).first().getLong(0)
+      == got.length.toLong)
+
+    // replaying a committed batchId is a no-op (exactly-once on retry)
+    val before = spark.read.parquet(s"$outDir/triples").count()
+    val someBatch = manifests.select($"batch").orderBy($"batch").first().getLong(0)
+    val replay = spark.read.parquet(s"$outDir/triples/batch=$someBatch")
+    StreamingIngest.writeBatch(replay, outDir, someBatch)
+    assert(spark.read.parquet(s"$outDir/triples").count() == before,
+      "replaying a manifested batch must not change the table")
+  }
+
   test("conversation state tracks max turn across micro-batches") {
     import spark.implicits._
     val labeled = Transcripts.generateLabeled(spark, N)
