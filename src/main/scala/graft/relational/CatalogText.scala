@@ -357,6 +357,34 @@ object CatalogText {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the winnowing rolling hash recomputed POSITIONALLY in DuckDB:
+    // window hash = Σ_j char * BASE^(15-j) with 64-bit wraparound
+    // emulated in HUGEINT (mod 2^64, then mapped to signed), min over
+    // windows — algebraically identical to the Java rolling recurrence
+    // (verified cell-for-cell), so even the custom codegen'd expression
+    // is cross-engine checked
+    "t_winnow_fp" ->
+      """WITH pows(j, p) AS (VALUES
+        | (0, 3461994526532120983::HUGEINT),(1, 4134814160351497105::HUGEINT),
+        | (2, 14343107869815905031::HUGEINT),(3, 17729586122188879009::HUGEINT),
+        | (4, 17460806593488198519::HUGEINT),(5, 7897781991674146481::HUGEINT),
+        | (6, 5187311668393911015::HUGEINT),(7, 13428893727576099265::HUGEINT),
+        | (8, 7338767820243804503::HUGEINT),(9, 10030938618205820369::HUGEINT),
+        | (10, 3132446466301724359::HUGEINT),(11, 9116066114394809057::HUGEINT),
+        | (12, 5531498854692111159::HUGEINT),(13, 1730340065630535921::HUGEINT),
+        | (14, 1315423911::HUGEINT),(15, 1::HUGEINT)),
+        |d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |terms AS (
+        |  SELECT d.doc_id, t.i,
+        |    sum(ascii(substring(d.text, CAST(t.i + p.j AS INT), 1))::HUGEINT * p.p) AS raw
+        |  FROM d, unnest(generate_series(1, length(d.text) - 15)) AS t(i), pows p
+        |  GROUP BY 1, 2),
+        |h AS (SELECT doc_id, raw % 18446744073709551616::HUGEINT AS v FROM terms),
+        |hs AS (SELECT doc_id,
+        |  CASE WHEN v >= 9223372036854775808::HUGEINT
+        |       THEN v - 18446744073709551616::HUGEINT ELSE v END AS sv FROM h)
+        |SELECT doc_id, CAST(min(sv) AS BIGINT) AS fp FROM hs GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
     // LSH banding redone in DuckDB from the signature dump: band
     // membership via raw 4-tuple equality (== bucket equality modulo
     // xxhash64 collisions), the same >MAX_LSH_BUCKET hot-bucket
