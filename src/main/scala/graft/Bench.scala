@@ -2,14 +2,27 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: one JSON line with total seconds + per-query
-  * seconds (driver contract), plus the flagship KG job's turns/sec —
-  * the BASELINE.json headline metric.
+import java.nio.file.{Files, Paths}
+
+/** Driver-run benchmark. Prints ONE COMPACT JSON line as the final stdout
+  * line (driver contract: {"metric","value","unit","queries",...}) and
+  * writes the full per-query timing table to BENCH/queries_r3.json.
+  *
+  * Why the split: the driver captures a bounded TAIL of stdout; r1/r2
+  * put all ~104 per-query timings on the contract line, which grew past
+  * the capture window and was truncated at the FRONT — BENCH_r01/r02
+  * both recorded `parsed: null` (VERDICT r2 "what's wrong" #2). The
+  * contract line now carries the headline metrics plus the ~10 most
+  * expensive queries (the ones worth grading), staying well under 1 KB;
+  * everything else goes to the file artifact.
   *
   * The flagship build (generate → train → tag → link → CC → resolve) is
-  * timed first as "kg_flagship_build"; the kg_* queries then measure
-  * steady-state reads over the cached build, and the relational catalog
-  * queries measure their own plans end-to-end.
+  * timed first as "kg_flagship_build"; the role classifier train+score
+  * is then warmed as its own timed stage "kg_role_train_score" so the
+  * alphabetical per-query loop measures STEADY-STATE reads for the
+  * kg_role_* family instead of attributing the full uncached train+score
+  * cost to whichever sibling sorts first (VERDICT r2 "what's wrong" #3:
+  * kg_role_accuracy recorded 15.4 s of someone else's work).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,14 +38,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // flagship end-to-end (forces the full DAG incl. CC + salted resolve)
+    // flagship end-to-end (forces the full DAG incl. CC + salted resolve).
+    // resolvedTriples.count() runs FIRST: it forces the whole pipeline
+    // (filling the tagged/nodes caches), so the remaining two counts read
+    // caches instead of racing it to materialize them.
     val t0 = System.nanoTime()
     val built = Kg.built(spark, sfDir)
-    val nTurns = built.out.tagged.count()
     val nTriples = built.out.resolvedTriples.count()
+    val nTurns = built.out.tagged.count()
     val nEntities = built.out.entities.count()
     val flagshipSec = (System.nanoTime() - t0) / 1e9
     val turnsPerSec = nTurns / flagshipSec
+
+    // role-classifier warm-up: train + score, timed as its own stage
+    val tR = System.nanoTime()
+    Kg.roleScored(spark, sfDir).count()
+    val roleSec = (System.nanoTime() - tR) / 1e9
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = System.nanoTime()
@@ -49,17 +70,27 @@ object Bench {
     val scaleSec = (System.nanoTime() - tS) / 1e9
 
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // seconds at 3 decimals: keeps the whole line under the driver's
-    // stdout tail-capture window (r1's full-precision line was truncated
-    // -> BENCH_r01 parsed:null)
-    val qs = (results :+ ("kg_flagship_build" -> flagshipSec) :+ ("kg_scale_linking" -> scaleSec))
+    val all = results :+ ("kg_flagship_build" -> flagshipSec) :+
+      ("kg_role_train_score" -> roleSec) :+ ("kg_scale_linking" -> scaleSec)
+    val total = all.map(_._2).sum
+
+    // full per-query table -> file artifact (every timing, 3 decimals)
+    Files.createDirectories(Paths.get("BENCH"))
+    val fileJson = all.sortBy(-_._2)
+      .map { case (k, v) => s"""  "$k": ${r3(v)}""" }
+      .mkString("{\n", ",\n", "\n}\n")
+    Files.writeString(Paths.get("BENCH/queries_r3.json"), fileJson)
+
+    // contract line: headline metrics + the 10 slowest queries only
+    val top = all.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + flagshipSec + scaleSec
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"sf":"$sfDir",""" +
+        s""""n_queries":${all.size},"queries_file":"BENCH/queries_r3.json",""" +
         s""""turns":$nTurns,"triples":$nTriples,"entities":$nEntities,""" +
         s""""flagship_sec":${r3(flagshipSec)},"turns_per_sec":${r3(turnsPerSec)},""" +
+        s""""role_train_score_sec":${r3(roleSec)},""" +
         s""""scale_nodes":${scale.nodes},"scale_components":${scale.components},""" +
         s""""scale_cc_iterations":${scale.ccIterations},"scale_overflow_blocks":${scale.overflowBlocks},""" +
         s""""scale_resolved_with_id":${scale.resolvedWithId},"scale_triples":${scale.triples}}""")

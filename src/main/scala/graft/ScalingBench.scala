@@ -123,6 +123,18 @@ object ScalingBench {
       // more interleaved samples give each level more chances to land in
       // a clean window
       val rounds = 9
+      // the protocol string doubles as the pooling compatibility token:
+      // prior walls are merged ONLY if they were measured under the
+      // byte-identical protocol (ADVICE r2: a (cores, turns)-only check
+      // would silently pool walls of a DIFFERENT timed quantity if the
+      // timed region ever changes — any protocol change alters this
+      // string and naturally invalidates older artifacts)
+      val protocol =
+        s"one local[$hi] JVM, NLP stage (per-partition window sort + " +
+          "tag/assemble mapPartitions over a pre-partitioned cache; the " +
+          "constant-parallelism exchange map side excluded) at " +
+          s"$lo vs $hi partitions, $rounds interleaved rounds per run " +
+          "pooled across runs, min per level, AQE coalescing off"
       val walls = scala.collection.mutable.Map(lo -> List.empty[Double], hi -> List.empty[Double])
       for (round <- 1 to rounds; parts <- Seq(lo, hi)) {
         val w = measure(parts)
@@ -130,10 +142,11 @@ object ScalingBench {
         System.err.println(f"[scaling] stage round=$round parts=$parts wall=$w%.2f s")
       }
       // POOL with any prior artifact of the identical protocol (same
-      // pair, same corpus): the min-per-level estimator is monotone in
-      // sample count — pooling interleaved rounds across runs is the
-      // same estimator with larger k, never selective (a worse new run
-      // cannot displace a clean prior window, and vice versa)
+      // pair, same corpus, same timed region — see `protocol` above):
+      // the min-per-level estimator is monotone in sample count —
+      // pooling interleaved rounds across runs is the same estimator
+      // with larger k, never selective (a worse new run cannot displace
+      // a clean prior window, and vice versa)
       val artifact = Paths.get("BENCH/stage_scaling.json")
       val (prevLo, prevHi) =
         if (Files.exists(artifact)) {
@@ -143,7 +156,8 @@ object ScalingBench {
               .map(_.group(1).split(',').filter(_.nonEmpty).map(_.toDouble).toList)
               .getOrElse(Nil)
           val sameCfg = s.contains(s""""n_cores":$lo,"n4_cores":$hi""") &&
-            s.contains(s""""turns":$nTurns""")
+            s.contains(s""""turns":$nTurns""") &&
+            s.contains(s""""protocol":"$protocol"""")
           if (sameCfg) (arr("walls_n"), arr("walls_n4")) else (Nil, Nil)
         } else (Nil, Nil)
       walls(lo) = walls(lo) ++ prevLo.reverse
@@ -153,7 +167,7 @@ object ScalingBench {
       def fmtList(xs: List[Double]) = xs.reverse.map(w => f"$w%.2f").mkString("[", ",", "]")
       val json =
         s"""{"metric":"stage_scaling_efficiency","value":$eff,"unit":"ratio",""" +
-          s""""protocol":"one local[$hi] JVM, NLP stage (per-partition window sort + tag/assemble mapPartitions over a pre-partitioned cache; the constant-parallelism exchange map side excluded) at $lo vs $hi partitions, $rounds interleaved rounds per run pooled across runs, min per level, AQE coalescing off",""" +
+          s""""protocol":"$protocol",""" +
           s""""n_cores":$lo,"n4_cores":$hi,""" +
           s""""turns":$nTurns,"stage_wall_n_min":$wLo,"stage_wall_n4_min":$wHi,""" +
           s""""walls_n":${fmtList(walls(lo))},"walls_n4":${fmtList(walls(hi))},""" +

@@ -110,6 +110,23 @@ object SparkEntry {
         |FROM '__OUTDIR__/kg_mentions/*.parquet' m
         |JOIN best b ON m.norm = b.norm AND m.tag = b.tag AND b.rk = 1
         |ORDER BY m.conv_id, m.turn_idx, m."start", m."end"""".stripMargin,
+    // span contract (VERDICT r2 next-round #4a): every mention's `value`
+    // is re-derived in DuckDB as substring(text, start+1, end-start) from
+    // the raw turn-text dump, and `norm` as the normalize-regex of that
+    // substring — so the tagger's offsets, extraction, and normalization
+    // are cross-engine checked per row (tag/conf pass through from the
+    // dump; their semantics stay pinned by the P/R=1.0 gate)
+    "kg_mentions" ->
+      """WITH t AS (SELECT conv_id, turn_idx, text FROM '__OUTDIR__/kg_turn_texts/*.parquet'),
+        |m AS (SELECT conv_id, turn_idx, "start", "end", tag, conf
+        |      FROM '__OUTDIR__/kg_mentions/*.parquet')
+        |SELECT m.conv_id, m.turn_idx, m."start", m."end",
+        |  substring(t.text, m."start" + 1, m."end" - m."start") AS value,
+        |  m.tag, m.conf,
+        |  trim(regexp_replace(lower(substring(t.text, m."start" + 1, m."end" - m."start")),
+        |    '[^a-z0-9]+', ' ', 'g')) AS norm
+        |FROM m JOIN t USING (conv_id, turn_idx)
+        |ORDER BY m.conv_id, m.turn_idx, m."start", m."end"""".stripMargin,
     // stable turn ordering invariant (north rule): recompute turn_ord
     // with DuckDB's own window function and compare every row
     "kg_turns" ->
@@ -292,7 +309,20 @@ object SparkEntry {
             r.text, r.gold.map(graft.pipeline.MentionRow.toMention).toArray)))
         .toDF("dict", "key", "value")
     }),
-    "kg_mentions" -> ((s, d) => Kg.built(s, d).out.mentions),
+    // ordered so the span-contract oracle can compare row-by-row: DuckDB
+    // re-derives value = substring(text, start+1, end-start) and norm =
+    // the normalize regex from the kg_turn_texts dump — the tagger's
+    // offsets/extraction stop being trust-me (VERDICT r2 next-round #4a)
+    "kg_mentions" -> ((s, d) => Kg.built(s, d).out.mentions
+      .orderBy(col("conv_id"), col("turn_idx"), col("start"), col("end"))),
+    // raw turn texts — the input the kg_mentions span-contract oracle
+    // reconstructs mention values from (no DuckDB twin of its own)
+    "kg_turn_texts" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      Kg.built(s, d).labeled.select($"conv_id", $"turn_idx", $"text")
+        .orderBy($"conv_id", $"turn_idx")
+    }),
     "kg_triples" -> ((s, d) => Kg.built(s, d).out.triples),
     // node_id omitted: it is xxhash64-derived (no DuckDB twin); the
     // oracle recomputes the whole aggregation from the mention dump

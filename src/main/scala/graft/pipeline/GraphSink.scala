@@ -33,12 +33,17 @@ object GraphSink {
     resolvedTriples.withColumn("conv_bucket",
       pmod(xxhash64(col("conv_id")), lit(nBuckets)).cast("int"))
 
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  /** FS resolved from the target path, not the default filesystem — a
+    * non-default-FS outDir (hdfs://, s3a://) would otherwise be checked
+    * against the wrong filesystem (same fix as StreamingIngest.writeBatch,
+    * ADVICE r2).
+    */
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def doneBuckets(spark: SparkSession, outDir: String): Set[Int] = {
     val dir = new Path(s"$outDir/_manifests")
-    val f = fs(spark)
+    val f = fs(spark, outDir)
     if (!f.exists(dir)) Set.empty
     else f.listStatus(dir).toSeq
       .map(_.getPath.getName)
@@ -87,16 +92,27 @@ object GraphSink {
     val rows = scala.util.Try(obs.get("rows").asInstanceOf[Long]).getOrElse(0L)
     val convs = scala.util.Try(obs.get("convs").asInstanceOf[Long]).getOrElse(0L)
 
-    // per-bucket manifest: rows + order-independent content fingerprint
-    val perBucket = bucketed(resolvedTriples, nBuckets)
-      .where(if (done.isEmpty) lit(true) else !col("conv_bucket").isin(done.toSeq: _*))
-      .groupBy(col("conv_bucket"))
-      .agg(count(lit(1)).as("rows"),
-        // bit_xor: order-independent content fingerprint, no ANSI overflow
-        expr("bit_xor(xxhash64(conv_id, turn_idx, subj, pred, obj))").as("fingerprint"))
-      .collect()
+    // per-bucket manifest: rows + order-independent content fingerprint,
+    // computed by READING BACK the just-written partition files — NOT by
+    // re-running the resolvedTriples lineage. Locally a cache hid the
+    // difference, but at 100 TB the cache won't hold and a lineage-based
+    // manifest pass re-executes the entire pipeline (VERDICT r2 "what's
+    // wrong" #4); a scan of freshly-written parquet costs one read of the
+    // data just produced. Manifesting from the files also makes the
+    // fingerprint describe what is actually ON DISK — the stronger
+    // integrity statement for the resume protocol.
+    val f = fs(spark, outDir)
+    val triplesDir = new Path(s"$outDir/triples")
+    val perBucket =
+      if (!f.exists(triplesDir)) Array.empty[org.apache.spark.sql.Row]
+      else spark.read.parquet(triplesDir.toString)
+        .where(if (done.isEmpty) lit(true) else !col("conv_bucket").isin(done.toSeq: _*))
+        .groupBy(col("conv_bucket").cast("int").as("conv_bucket"))
+        .agg(count(lit(1)).as("rows"),
+          // bit_xor: order-independent content fingerprint, no ANSI overflow
+          expr("bit_xor(xxhash64(conv_id, turn_idx, subj, pred, obj))").as("fingerprint"))
+        .collect()
 
-    val f = fs(spark)
     f.mkdirs(new Path(s"$outDir/_manifests"))
     for (r <- perBucket) {
       val bucket = r.getInt(0)
@@ -107,7 +123,10 @@ object GraphSink {
       val out = f.create(tmp, true)
       out.write(json.getBytes(StandardCharsets.UTF_8))
       out.close()
-      f.rename(tmp, dst) // rename-as-commit
+      // rename IS the commit point: fail loudly rather than leave the
+      // bucket data committed but unmanifested (the resume protocol would
+      // then re-process it — idempotent, but the failure must surface)
+      require(f.rename(tmp, dst), s"manifest commit rename failed: $tmp -> $dst")
     }
     WriteMetrics(perBucket.length, done.size, rows, convs)
   }

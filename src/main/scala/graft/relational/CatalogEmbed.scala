@@ -117,30 +117,38 @@ object CatalogEmbed {
 
   /** IVF coarse quantizer, factored out of annIvf so the refined centroid
     * table can also be DUMPED for the e_ann_ivf oracle: seeds = the
-    * nClusters lowest candidate ids, one Lloyd refinement step
-    * (assign-to-nearest, per-dimension mean).
+    * nClusters lowest candidate ids, then `iters` Lloyd refinement steps
+    * (assign-to-nearest, per-dimension mean). Deterministic (no RNG):
+    * seeds are id-ordered, assignment ties break on cluster id, and the
+    * per-dim mean is order-independent when components are integers
+    * (exact sums) — which is what makes the QUANTIZED variant's k-means
+    * cross-engine oracle-able (e_ann_ivf_quant, VERDICT r2 next-round #8).
     */
-  def ivfCentroids(vecs: DataFrame, probeMax: Int = 20, nClusters: Int = 16): DataFrame = {
+  def ivfCentroids(vecs: DataFrame, probeMax: Int = 20, nClusters: Int = 16,
+      iters: Int = 1): DataFrame = {
     val cands = vecs.where(col("vec_id") >= probeMax)
-    val seeds = cands.orderBy(col("vec_id")).limit(nClusters)
-      .select(col("vec_id").as("seed_id"), col("v").as("cv"))
-    // one Lloyd step: nearest seed per candidate, then per-dim means
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("seed_id"))
-    val assigned0 = cands.crossJoin(broadcast(seeds))
-      .withColumn("dist", round(d2(col("v"), col("cv")), 9))
-      .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("seed_id"))
-    // localCheckpoint: the centroid table is k tiny rows but its lineage
-    // (seed limit + crossJoin + window + per-dim means) would otherwise
-    // re-execute for EVERY downstream branch (candidate indexing, probe
-    // routing) — measured 3× recompute, ~2/3 of the query's wall
-    assigned0
-      .select(col("seed_id"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("seed_id"), col("dim")).agg(avg(col("x")).as("m"))
-      .groupBy(col("seed_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), e -> e.m)").as("cv"))
-      .withColumnRenamed("seed_id", "cluster")
+    var centroids = cands.orderBy(col("vec_id")).limit(nClusters)
+      .select(col("vec_id").as("cluster"), col("v").as("cv"))
+      // localCheckpoint: the centroid table is k tiny rows but its lineage
+      // (seed limit, then per iteration a crossJoin + window + per-dim
+      // means) would otherwise re-execute for EVERY downstream branch
+      // (next iteration, candidate indexing, probe routing) — measured 3×
+      // recompute, ~2/3 of the query's wall
       .localCheckpoint()
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cluster"))
+    for (_ <- 1 to iters) {
+      val assigned = cands.crossJoin(broadcast(centroids))
+        .withColumn("dist", round(d2(col("v"), col("cv")), 9))
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("cluster"))
+      centroids = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), e -> e.m)").as("cv"))
+        .localCheckpoint()
+    }
+    centroids
   }
 
   /** Candidate -> nearest refined centroid (the inverted-file index). */
@@ -154,9 +162,9 @@ object CatalogEmbed {
   }
 
   def annIvf(vecs: DataFrame, probeMax: Int = 20, k: Int = 3,
-      nClusters: Int = 16, nProbe: Int = 2): DataFrame = {
+      nClusters: Int = 16, nProbe: Int = 2, iters: Int = 1): DataFrame = {
     val dot = graft.functions.NativeFunctions.dot_product _
-    val centroids = ivfCentroids(vecs, probeMax, nClusters)
+    val centroids = ivfCentroids(vecs, probeMax, nClusters, iters)
     val indexed = ivfAssign(vecs, centroids, probeMax)
     // probes search their nProbe nearest clusters
     val probes = vecs.where(col("vec_id") < probeMax)
@@ -250,15 +258,24 @@ object CatalogEmbed {
     * projection itself is pinned by AnnRecallSpec; everything downstream
     * of it becomes cross-engine checked).
     */
-  def annBuckets(vecs: DataFrame, dims: Int = MAX_DIM): DataFrame = {
-    val planes = planesFor(vecs.count())
+  def annBuckets(vecs: DataFrame, dims: Int = MAX_DIM, nPlanes: Int = 0): DataFrame = {
+    val planes = if (nPlanes > 0) nPlanes else planesFor(vecs.count())
     vecs.withColumn("bucket", bucketCol(planes, dims)).select(col("vec_id"), col("bucket"))
   }
+
+  /** The e_ann_lsh ORACLE hardcodes an 8-plane code (its multi-probe SQL
+    * flips bits 0..7), so the oracled query pair pins nPlanes=8 EXPLICITLY
+    * on the Spark side too — above 16,384 vectors the adaptive
+    * planesFor() would otherwise widen the code and silently diverge from
+    * the oracle (ADVICE r2). The adaptive default remains the production
+    * path and is recall-gated on fixtures by DedupAnnSpec/AnnRecallSpec.
+    */
+  val ORACLE_ANN_PLANES = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_ann_buckets" -> ((s, d) => annBuckets(emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v")),
-      dims = 64)
+      dims = 64, nPlanes = ORACLE_ANN_PLANES)
       .orderBy(col("vec_id"))),
 
     // IVF oracle inputs: refined centroids (values stringified — Java's
@@ -322,12 +339,24 @@ object CatalogEmbed {
     // AnnRecallSpec (>= 0.9 on a planted-neighbor fixture).
     "e_ann_lsh" -> ((s, d) => annLsh(emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v")),
-      dims = 64)),
+      dims = 64, nPlanes = ORACLE_ANN_PLANES)),
 
     // IVF ANN scale path (rows-only — float k-means has no DuckDB twin);
     // recall gated vs exact KNN by DedupAnnSpec
     "e_ann_ivf" -> ((s, d) => annIvf(emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v")))),
+
+    // integer-quantized IVF with TWO Lloyd iterations, FULLY oracled with
+    // no dump dependency: on round(x*1000) integer components every
+    // k-means quantity is cross-engine exact — integer sums are
+    // order-independent, avg = exact-int-sum / count is one IEEE divide,
+    // and iteration-2 distances are sequential dots of those identical
+    // doubles — so DuckDB re-runs seeds → assign → mean → assign → mean →
+    // index → probe-route → top-k FROM THE RAW TABLE and must reproduce
+    // every neighbor (the quantizer step itself is now oracled, which the
+    // float e_ann_ivf cannot be; VERDICT r2 next-round #8)
+    "e_ann_ivf_quant" -> ((s, d) => annIvf(emb(s, d)
+      .select(col("vec_id"), expr(quantize).as("v")), iters = 2)),
 
     // ORACLED: embedding label centroids on quantized components
     "e_label_centroids" -> ((s, d) => emb(s, d)
@@ -503,6 +532,72 @@ object CatalogEmbed {
         |  SELECT probe_id, c.vec_id AS neighbor_id,
         |    round(list_dot_product(pv, c.v), 6) AS dot
         |  FROM probes p JOIN cand c USING (cluster)),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id, dot,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT probe_id, rk, neighbor_id, dot FROM ranked WHERE rk <= 3
+        |ORDER BY probe_id, rk""".stripMargin,
+    // the quantized 2-iteration IVF re-run ENTIRELY from the raw table:
+    // seeds (16 lowest candidate ids) → assign (9dp-rounded squared
+    // distance, tie on cluster) → exact integer per-dim means → second
+    // assign/mean round → inverted index → 2-probe routing → exact-dot
+    // top-3. No dumps: every quantity is order-independent on integer
+    // components, so both engines must agree bit-for-bit.
+    "e_ann_ivf_quant" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+        |  FROM embeddings),
+        |cand AS (SELECT vec_id, v FROM q WHERE vec_id >= 20),
+        |seeds AS (SELECT vec_id AS cluster, v AS cv FROM cand ORDER BY vec_id LIMIT 16),
+        |a1 AS (
+        |  SELECT vec_id, v, cluster FROM (
+        |    SELECT c.vec_id, c.v, s.cluster,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        round(list_dot_product(c.v, c.v) - 2.0 * list_dot_product(c.v, s.cv)
+        |          + list_dot_product(s.cv, s.cv), 9) ASC, s.cluster) AS rk
+        |    FROM cand c CROSS JOIN seeds s)
+        |  WHERE rk = 1),
+        |c1 AS (
+        |  SELECT cluster, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT a.cluster, t.i AS dim, avg(a.v[t.i]) AS m
+        |    FROM a1 a, unnest(generate_series(1, len(a.v))) AS t(i)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |a2 AS (
+        |  SELECT vec_id, v, cluster FROM (
+        |    SELECT c.vec_id, c.v, s.cluster,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        round(list_dot_product(c.v, c.v) - 2.0 * list_dot_product(c.v, s.cv)
+        |          + list_dot_product(s.cv, s.cv), 9) ASC, s.cluster) AS rk
+        |    FROM cand c CROSS JOIN c1 s)
+        |  WHERE rk = 1),
+        |c2 AS (
+        |  SELECT cluster, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT a.cluster, t.i AS dim, avg(a.v[t.i]) AS m
+        |    FROM a2 a, unnest(generate_series(1, len(a.v))) AS t(i)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |asg AS (
+        |  SELECT vec_id, v, cluster FROM (
+        |    SELECT c.vec_id, c.v, s.cluster,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        round(list_dot_product(c.v, c.v) - 2.0 * list_dot_product(c.v, s.cv)
+        |          + list_dot_product(s.cv, s.cv), 9) ASC, s.cluster) AS rk
+        |    FROM cand c CROSS JOIN c2 s)
+        |  WHERE rk = 1),
+        |pr AS (
+        |  SELECT probe_id, pv, cluster FROM (
+        |    SELECT p.vec_id AS probe_id, p.v AS pv, s.cluster,
+        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |        round(list_dot_product(p.v, p.v) - 2.0 * list_dot_product(p.v, s.cv)
+        |          + list_dot_product(s.cv, s.cv), 9) ASC, s.cluster) AS crk
+        |    FROM q p CROSS JOIN c2 s WHERE p.vec_id < 20)
+        |  WHERE crk <= 2),
+        |scored AS (
+        |  SELECT probe_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(pv, c.v), 6) AS dot
+        |  FROM pr p JOIN asg c USING (cluster)),
         |ranked AS (
         |  SELECT probe_id, neighbor_id, dot,
         |    row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, neighbor_id) AS rk

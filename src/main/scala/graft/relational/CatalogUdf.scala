@@ -36,6 +36,37 @@ object CatalogUdf {
           |FROM (SELECT explode(split(text, ' ')) AS term FROM documents_v)
           |WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin)
     }),
+    // re-stemmed stems (stem -> pal_stem(stem)) — the second dump the
+    // u_stem_invariants oracle joins so DuckDB can evaluate idempotence
+    // without an offline stemmer of its own (VERDICT r2 next-round #4b)
+    "u_stem_restem" -> ((s, d) => {
+      withUdfs(s).read.parquet(s"$d/documents.parquet").createOrReplaceTempView("documents_v")
+      s.sql(
+        """SELECT stem, pal_stem(stem) AS restem FROM (
+          |  SELECT DISTINCT pal_stem(term) AS stem
+          |  FROM (SELECT explode(split(text, ' ')) AS term FROM documents_v)
+          |  WHERE term <> '')
+          |ORDER BY stem""".stripMargin)
+    }),
+    // structural invariants of the stemmer, computed LIVE from pal_stem
+    // on the Spark side and recomputed in DuckDB purely from the
+    // (term,stem) + (stem,restem) dumps: idempotence (stem∘stem = stem),
+    // no-growth (|stem| <= |term|), first-char preservation (Porter only
+    // rewrites suffixes). A mismatch means either a corrupted dump or a
+    // nondeterministic/law-breaking stemmer — the structural oracle the
+    // stemmer can have without a DuckDB Porter twin.
+    "u_stem_invariants" -> ((s, d) => {
+      withUdfs(s).read.parquet(s"$d/documents.parquet").createOrReplaceTempView("documents_v")
+      s.sql(
+        """SELECT count(*) AS n_terms,
+          |  CAST(sum(CASE WHEN pal_stem(stem) = stem THEN 1 ELSE 0 END) AS BIGINT) AS n_idempotent,
+          |  CAST(sum(CASE WHEN length(stem) <= length(term) THEN 1 ELSE 0 END) AS BIGINT) AS n_no_growth,
+          |  CAST(sum(CASE WHEN substring(term, 1, 1) = substring(stem, 1, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_first_char
+          |FROM (
+          |  SELECT term, pal_stem(term) AS stem FROM (
+          |    SELECT DISTINCT explode(split(text, ' ')) AS term FROM documents_v)
+          |  WHERE term <> '')""".stripMargin)
+    }),
     // date parsing across FORMATS (SURVEY.md §2 row 25): each distinct
     // order date rendered in 5 formats (ISO, European, US, month-name,
     // bare year), parsed by pal_date_parse back to ISO+exactness. The
@@ -87,6 +118,18 @@ object CatalogUdf {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // stemmer structural invariants recomputed in DuckDB from the vocab +
+    // restem dumps (see the query's scaladoc): n_idempotent via the
+    // (stem -> restem) join, no-growth and first-char directly from the
+    // (term, stem) pairs — the live-pal_stem aggregate must agree
+    "u_stem_invariants" ->
+      """WITH v AS (SELECT term, stem FROM '__OUTDIR__/u_stem_vocab/*.parquet'),
+        |r AS (SELECT stem, restem FROM '__OUTDIR__/u_stem_restem/*.parquet')
+        |SELECT count(*) AS n_terms,
+        |  CAST(sum(CASE WHEN r.restem = v.stem THEN 1 ELSE 0 END) AS BIGINT) AS n_idempotent,
+        |  CAST(sum(CASE WHEN length(v.stem) <= length(v.term) THEN 1 ELSE 0 END) AS BIGINT) AS n_no_growth,
+        |  CAST(sum(CASE WHEN substring(v.term, 1, 1) = substring(v.stem, 1, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_first_char
+        |FROM v JOIN r USING (stem)""".stripMargin,
     // constructive oracle: the input text is synthesized per doc_id, so
     // DuckDB re-derives each expected mention (URL token, the known date,
     // the smiley) and the priority-ordered union analytically — an

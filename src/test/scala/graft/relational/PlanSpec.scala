@@ -79,14 +79,23 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("minhash avoids row-exploding signature generation and caps buckets") {
-    val p = plan("t_minhash_lsh")
-    assert(!p.contains("posexplode"))
+    // the signature/banding stage (inspected PRE-checkpoint: the full
+    // query localCheckpoints it so the self-join reuses one execution —
+    // its plan would show only the materialized scan)
+    val bands = CatalogText.minhashBands(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the only Generate allowed is the 4-row stack() unpivot — a shingle
+    // or signature explosion would appear as explode/posexplode
+    assert(!bands.contains("posexplode") && !bands.contains("explode("),
+      bands.take(2000))
     // signatures are per-row array_min projections — no explode, no
     // aggregation, no shuffle before the band stack
-    assert(p.contains("array_min"), p.take(2000))
+    assert(bands.contains("array_min"), bands.take(2000))
+    assert(!bands.contains("Exchange"), bands.take(2000))
     // hot LSH buckets are excluded from the self-join via anti-join
     // (the candidateEdges cap pattern — scale guard against quadratic
     // degenerate buckets)
+    val p = plan("t_minhash_lsh")
     assert(p.contains("LeftAnti"), p.take(2000))
   }
 

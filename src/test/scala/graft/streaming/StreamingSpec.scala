@@ -179,6 +179,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"cap not applied: $pairs")
   }
 
+  test("streaming near-dup event-time expiry removes idle bucket state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_ndexp").toString
+    def ts(h: Int, m: Int = 0) = new java.sql.Timestamp(1700000000000L + (h * 60L + m) * 60000L)
+    val famA = "alpha beta gamma delta epsilon zeta eta theta"
+    // drop1 (t=0h): family-A dups 1,2 -> pair (1,2), bucket timeout t=1h
+    Seq((1L, famA, ts(0)), (2L, famA, ts(0)))
+      .toDF("doc_id", "text", "ts").write.parquet(s"$dir/drop1")
+    // drop2 (t=10h): unrelated singleton — advances the watermark to 9h,
+    // far past family A's 1h timeout, without touching its bucket
+    Seq((3L, "completely different words about another topic entirely", ts(10)))
+      .toDF("doc_id", "text", "ts").write.parquet(s"$dir/drop2")
+    // drop3 (t=10h10): another singleton — the batch in which family A's
+    // bucket has NO data and watermark > timeout, so the state is REMOVED
+    Seq((4L, "yet more unrelated content sharing no shingles whatsoever", ts(10, 10)))
+      .toDF("doc_id", "text", "ts").write.parquet(s"$dir/drop3")
+    // drop4 (t=10h30): doc 5 re-uses family A's text — its bucket state
+    // was expired, so NO (1,5)/(2,5) pairs may appear
+    Seq((5L, famA, ts(10, 30)))
+      .toDF("doc_id", "text", "ts").write.parquet(s"$dir/drop4")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1") // one micro-batch per drop, in order
+      .parquet(s"$dir/drop*")
+    val q = StreamingIngest.nearDupCandidatesExpiring(stream)
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName("ndexp").start()
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("ndexp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expired bucket must not pair with later arrivals: $pairs")
+  }
+
   test("streaming graph sink: exactly-once batches, manifests, batch parity") {
     import spark.implicits._
     val labeled = Transcripts.generateLabeled(spark, N)
