@@ -127,6 +127,35 @@ object SparkEntry {
         |    '[^a-z0-9]+', ' ', 'g')) AS norm
         |FROM m JOIN t USING (conv_id, turn_idx)
         |ORDER BY m.conv_id, m.turn_idx, m."start", m."end"""".stripMargin,
+    // triple-assembly contract: the three rule-derivable triple families
+    // rebuilt from scratch in DuckDB out of the mention + turn dumps —
+    // one instance_of per mention, one used_tool per tool turn, one
+    // queried_via from the FIRST (min-start) mention of a tool turn —
+    // exactly TripleAssembler's emission rules re-derived cross-engine
+    "kg_triple_contract" ->
+      """WITH m AS (SELECT conv_id, turn_idx, "start", value, tag
+        |           FROM '__OUTDIR__/kg_mentions/*.parquet'),
+        |t AS (SELECT conv_id, turn_idx, tool FROM '__OUTDIR__/kg_turns/*.parquet'),
+        |inst AS (
+        |  SELECT conv_id, turn_idx, value AS subj, 'instance_of' AS pred,
+        |    tag AS obj, tag AS subj_tag, 'TYPE' AS obj_tag FROM m),
+        |toolt AS (
+        |  SELECT conv_id, turn_idx, conv_id AS subj, 'used_tool' AS pred,
+        |    tool AS obj, 'CONV' AS subj_tag, 'TOOL' AS obj_tag
+        |  FROM t WHERE tool IS NOT NULL AND tool <> ''),
+        |firstm AS (
+        |  SELECT conv_id, turn_idx, value, tag FROM (
+        |    SELECT conv_id, turn_idx, value, tag,
+        |      row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY "start") AS rn
+        |    FROM m) WHERE rn = 1),
+        |qv AS (
+        |  SELECT f.conv_id, f.turn_idx, f.value AS subj, 'queried_via' AS pred,
+        |    t.tool AS obj, f.tag AS subj_tag, 'TOOL' AS obj_tag
+        |  FROM firstm f JOIN t ON f.conv_id = t.conv_id AND f.turn_idx = t.turn_idx
+        |  WHERE t.tool IS NOT NULL AND t.tool <> '')
+        |SELECT * FROM (
+        |  SELECT * FROM inst UNION ALL SELECT * FROM toolt UNION ALL SELECT * FROM qv)
+        |ORDER BY conv_id, turn_idx, pred, subj, obj""".stripMargin,
     // stable turn ordering invariant (north rule): recompute turn_ord
     // with DuckDB's own window function and compare every row
     "kg_turns" ->
@@ -324,6 +353,17 @@ object SparkEntry {
         .orderBy($"conv_id", $"turn_idx")
     }),
     "kg_triples" -> ((s, d) => Kg.built(s, d).out.triples),
+    // the rule-derivable triple families re-exposed for their contract
+    // oracle: instance_of (one per mention), used_tool (tool turns), and
+    // queried_via (first mention of a tool turn) are all constructively
+    // re-derivable in DuckDB from the kg_mentions + kg_turns dumps —
+    // only the connector-phrase relation triples (sentence splitting +
+    // longest-suffix matching) remain test-pinned
+    "kg_triple_contract" -> ((s, d) => Kg.built(s, d).out.triples
+      .where(col("pred").isin("instance_of", "used_tool", "queried_via"))
+      .select(col("conv_id"), col("turn_idx"), col("subj"), col("pred"),
+        col("obj"), col("subj_tag"), col("obj_tag"))
+      .orderBy(col("conv_id"), col("turn_idx"), col("pred"), col("subj"), col("obj"))),
     // node_id omitted: it is xxhash64-derived (no DuckDB twin); the
     // oracle recomputes the whole aggregation from the mention dump
     "kg_surface_nodes" -> ((s, d) => Kg.built(s, d).out.nodes
