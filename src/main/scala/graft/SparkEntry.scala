@@ -127,6 +127,18 @@ object SparkEntry {
         |    '[^a-z0-9]+', ' ', 'g')) AS norm
         |FROM m JOIN t USING (conv_id, turn_idx)
         |ORDER BY m.conv_id, m.turn_idx, m."start", m."end"""".stripMargin,
+    // overlap-freedom recomputed in DuckDB from the mention dump: same
+    // strict-interval self-join; n_mentions guards against a vacuous pass
+    "kg_mention_overlaps" ->
+      """WITH m AS (SELECT conv_id, turn_idx, "start", "end"
+        |           FROM '__OUTDIR__/kg_mentions/*.parquet')
+        |SELECT (SELECT count(*) FROM m) AS n_mentions,
+        |  (SELECT count(*) FROM m a JOIN m b
+        |    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+        |    AND a."start" < b."end" AND b."start" < a."end"
+        |    AND (a."start" < b."start"
+        |         OR (a."start" = b."start" AND a."end" < b."end")))
+        |  AS n_overlapping_pairs""".stripMargin,
     // triple-assembly contract: the three rule-derivable triple families
     // rebuilt from scratch in DuckDB out of the mention + turn dumps —
     // one instance_of per mention, one used_tool per tool turn, one
@@ -344,6 +356,23 @@ object SparkEntry {
     // offsets/extraction stop being trust-me (VERDICT r2 next-round #4a)
     "kg_mentions" -> ((s, d) => Kg.built(s, d).out.mentions
       .orderBy(col("conv_id"), col("turn_idx"), col("start"), col("end"))),
+    // overlap-freedom contract (the second half of the span contract):
+    // mentions within a turn are non-overlapping by construction
+    // (StringTagger.removeOverlaps) — this aggregate exposes the count of
+    // overlapping pairs (must be 0) alongside the total mention count (so
+    // a pass cannot be vacuous), and the oracle recomputes both in DuckDB
+    // with an interval self-join over the dump
+    "kg_mention_overlaps" -> ((s, d) => {
+      val m = Kg.built(s, d).out.mentions.alias("a")
+      val overlaps = m.join(Kg.built(s, d).out.mentions.alias("b"),
+        col("a.conv_id") === col("b.conv_id") && col("a.turn_idx") === col("b.turn_idx") &&
+          col("a.start") < col("b.end") && col("b.start") < col("a.end") &&
+          (col("a.start") < col("b.start") ||
+            (col("a.start") === col("b.start") && col("a.end") < col("b.end"))))
+      Kg.built(s, d).out.mentions
+        .agg(count(lit(1)).as("n_mentions"))
+        .crossJoin(overlaps.agg(count(lit(1)).as("n_overlapping_pairs")))
+    }),
     // raw turn texts — the input the kg_mentions span-contract oracle
     // reconstructs mention values from (no DuckDB twin of its own)
     "kg_turn_texts" -> ((s, d) => {
