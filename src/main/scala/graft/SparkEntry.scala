@@ -127,6 +127,60 @@ object SparkEntry {
         |    '[^a-z0-9]+', ' ', 'g')) AS norm
         |FROM m JOIN t USING (conv_id, turn_idx)
         |ORDER BY m.conv_id, m.turn_idx, m."start", m."end"""".stripMargin,
+    // relation triples rebuilt from scratch in DuckDB: adjacent mention
+    // pairs (row_number over start), between-text by substring,
+    // TripleAssembler.connectorKey's tokenize+lowercase+<=5-token filter
+    // (exact twin on this corpus: between-texts are letter words +
+    // spaces, so whitespace split == the JDK tokenizer), longest-suffix
+    // match against the relationPatterns table shipped as VALUES (min
+    // dropped-prefix wins, as in the Scala loop). The same-sentence
+    // guard excludes pairs whose between-text holds a terminator — the
+    // corpus has none between mentions, matching the assembler's
+    // sentence-scoped pairing.
+    "kg_relation_contract" ->
+      """WITH pat(k, pred) AS (VALUES
+        |  ('works at','works_for'),('works for','works_for'),
+        |  ('is employed by','works_for'),('joined','works_for'),
+        |  ('is the ceo of','ceo_of'),('is ceo of','ceo_of'),('leads','leads'),
+        |  ('founded','founded'),('co-founded','founded'),
+        |  ('visited','visited'),('visit','visited'),('traveled to','traveled_to'),
+        |  ('moved to','moved_to'),('met','met'),('met with','met'),
+        |  ('lives in','lives_in'),('is located in','located_in'),
+        |  ('located in','located_in'),('is based in','located_in'),
+        |  ('headquartered in','located_in'),('is in','located_in'),
+        |  ('was born in','born_in'),('born in','born_in'),
+        |  ('released','released'),('launched','released'),
+        |  ('announced','announced'),('acquired','acquired'),
+        |  ('bought','acquired'),('uses','uses'),('used','uses'),
+        |  ('recommended','recommends'),('recommends','recommends'),
+        |  ('partnered with','partner_of'),('is part of','part_of'),
+        |  ('compared','compared'),('reviewed','reviewed')),
+        |t AS (SELECT conv_id, turn_idx, text FROM '__OUTDIR__/kg_turn_texts/*.parquet'),
+        |m AS (SELECT conv_id, turn_idx, "start", "end", value, tag,
+        |        row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY "start") AS rn
+        |      FROM '__OUTDIR__/kg_mentions/*.parquet'),
+        |pairs AS (
+        |  SELECT a.conv_id, a.turn_idx, a.rn, a.value AS subj, b.value AS obj,
+        |    a.tag AS subj_tag, b.tag AS obj_tag,
+        |    substring(t.text, a."end" + 1, b."start" - a."end") AS betw
+        |  FROM m a
+        |  JOIN m b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND b.rn = a.rn + 1
+        |  JOIN t ON t.conv_id = a.conv_id AND t.turn_idx = a.turn_idx),
+        |tok AS (
+        |  SELECT *, list_filter(string_split_regex(lower(trim(betw)), '\s+'), x -> x <> '') AS toks
+        |  FROM pairs WHERE NOT regexp_matches(betw, '[.!?]')),
+        |valid AS (SELECT * FROM tok WHERE len(toks) BETWEEN 1 AND 5),
+        |suffixes AS (
+        |  SELECT v.conv_id, v.turn_idx, v.rn, v.subj, v.obj, v.subj_tag, v.obj_tag, s.d,
+        |    array_to_string(v.toks[s.d + 1:], ' ') AS key
+        |  FROM valid v, unnest(generate_series(0, len(v.toks) - 1)) AS s(d)),
+        |matched AS (
+        |  SELECT conv_id, turn_idx, rn, subj, obj, subj_tag, obj_tag, pred,
+        |    row_number() OVER (PARTITION BY conv_id, turn_idx, rn ORDER BY d) AS mk
+        |  FROM suffixes JOIN pat ON suffixes.key = pat.k)
+        |SELECT conv_id, turn_idx, subj, pred, obj, subj_tag, obj_tag
+        |FROM matched WHERE mk = 1
+        |ORDER BY conv_id, turn_idx, subj, pred, obj""".stripMargin,
     // overlap-freedom recomputed in DuckDB from the mention dump: same
     // strict-interval self-join; n_mentions guards against a vacuous pass
     "kg_mention_overlaps" ->
@@ -373,6 +427,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_mentions"))
         .crossJoin(overlaps.agg(count(lit(1)).as("n_overlapping_pairs")))
     }),
+    // connector-phrase relation triples re-exposed for their contract
+    // oracle (closing the last triple family): the oracle re-runs
+    // adjacency, between-text extraction, connector tokenization and
+    // longest-suffix pattern matching in DuckDB from the mention + text
+    // dumps and the relationPatterns table shipped as VALUES
+    "kg_relation_contract" -> ((s, d) => Kg.built(s, d).out.triples
+      .where(!col("pred").isin("instance_of", "used_tool", "queried_via"))
+      .select(col("conv_id"), col("turn_idx"), col("subj"), col("pred"),
+        col("obj"), col("subj_tag"), col("obj_tag"))
+      .orderBy(col("conv_id"), col("turn_idx"), col("subj"), col("pred"), col("obj"))),
     // raw turn texts — the input the kg_mentions span-contract oracle
     // reconstructs mention values from (no DuckDB twin of its own)
     "kg_turn_texts" -> ((s, d) => {
