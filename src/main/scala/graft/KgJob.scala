@@ -1,0 +1,74 @@
+package graft
+
+import graft.corpus.Turn
+import graft.pipeline.{GraphSink, KgPipeline, NerTraining}
+import org.apache.spark.sql.SparkSession
+
+/** Production spark-submit entry point for the full KG-construction job
+  * (BASELINE.json north rule: "runs via spark-submit on a multi-executor
+  * cluster"; SURVEY.md §3.3). Reads an Iceberg/Parquet transcript table
+  * with columns (conv_id, turn_idx, role, text, tool, ts), tags it with
+  * a persisted NER model, links + canonicalizes entities, and
+  * materializes the graph (triples/entities/edges) with per-bucket
+  * lineage manifests. Re-running against the same output directory
+  * RESUMES: committed buckets (manifest present) are skipped, pending
+  * ones are idempotently rewritten (GraphSink's dynamic-overwrite +
+  * rename-commit protocol).
+  *
+  * Usage (spark-submit supplies master/executor conf; nothing here pins
+  * a master so the same jar runs at N and 4N executors unchanged):
+  *
+  *   spark-submit --class graft.KgJob palladianspark.jar \
+  *     --input  hdfs://.../transcripts \
+  *     --model  hdfs://.../ner_model \
+  *     --output hdfs://.../graph      \
+  *     [--buckets 64]
+  *
+  * Prints one JSON metrics line (rows, convs, buckets written/skipped,
+  * entity/edge counts) — the job's observability contract.
+  */
+object KgJob {
+
+  final case class JobMetrics(
+      turns: Long, triples: Long, entities: Long, edges: Long,
+      bucketsWritten: Int, bucketsSkipped: Int)
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val input = opts.getOrElse("--input", sys.error("--input <transcripts parquet> required"))
+    val modelPath = opts.getOrElse("--model", sys.error("--model <ner model parquet> required"))
+    val output = opts.getOrElse("--output", sys.error("--output <graph dir> required"))
+    val buckets = opts.getOrElse("--buckets", "16").toInt
+    val spark = SparkSession.builder()
+      .appName("graft-kg-construct")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    val m = run(spark, input, modelPath, output, buckets)
+    println(
+      s"""{"job":"kg_construct","turns":${m.turns},"triples":${m.triples},""" +
+        s""""entities":${m.entities},"edges":${m.edges},""" +
+        s""""buckets_written":${m.bucketsWritten},"buckets_skipped":${m.bucketsSkipped}}""")
+    spark.stop()
+  }
+
+  /** The job body, callable from tests with an existing session. */
+  def run(spark: SparkSession, input: String, modelPath: String, output: String,
+      buckets: Int = 16): JobMetrics = {
+    import spark.implicits._
+    val turns = spark.read.parquet(input).as[Turn]
+    val model = spark.sparkContext.broadcast(NerTraining.load(spark, modelPath))
+    val out = KgPipeline.run(spark, turns, model)
+    // resolvedTriples feeds the triple write AND the edges aggregation —
+    // cache it so graph materialization costs one pipeline execution
+    out.resolvedTriples.cache()
+    val wm = GraphSink.writeTriples(spark, out.resolvedTriples, output, buckets)
+    GraphSink.writeEntities(out.entities, output)
+    GraphSink.writeEdges(out.edges, output)
+    val nTurns = out.tagged.count()
+    val nEntities = out.entities.count()
+    val nEdges = out.edges.count()
+    val nTriples = out.resolvedTriples.count()
+    out.resolvedTriples.unpersist()
+    JobMetrics(nTurns, nTriples, nEntities, nEdges, wm.buckets, wm.skippedBuckets)
+  }
+}
