@@ -40,15 +40,18 @@ object StreamingIngest {
     turns
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
-      .mapPartitions { it =>
-        val m = model.value
-        it.map { t =>
-          val mentions = NerModel.tag(t.text, m)
-          val triples = TripleAssembler.assemble(t.conv_id, t.turn_idx, t.role, t.text, t.tool, mentions)
-          TaggedRow(t.conv_id, t.turn_idx, 0, t.role, t.tool, t.ts,
-            mentions.map(MentionRow.of).toSeq, triples.map(TripleRow.of).toSeq)
-        }
-      }
+      .mapPartitions(tagIter(model))
+  }
+
+  /** The per-partition tagging closure shared by the streaming stages. */
+  private def tagIter(model: Broadcast[NerModel])(it: Iterator[Turn]): Iterator[TaggedRow] = {
+    val m = model.value
+    it.map { t =>
+      val mentions = NerModel.tag(t.text, m)
+      val triples = TripleAssembler.assemble(t.conv_id, t.turn_idx, t.role, t.text, t.tool, mentions)
+      TaggedRow(t.conv_id, t.turn_idx, 0, t.role, t.tool, t.ts,
+        mentions.map(MentionRow.of).toSeq, triples.map(TripleRow.of).toSeq)
+    }
   }
 
   /** Tumbling windowed mention counts (watermarked aggregation). Takes
@@ -223,6 +226,9 @@ object StreamingIngest {
 
   /** Conversation assembly across micro-batches: custom state per conv
     * (flatMapGroupsWithState) emitting running (max_turn, n_mentions).
+    * Ts-less bounded-replay variant (test harness); the production path
+    * is [[conversationStateExpiring]] — same unbounded-state caveat as
+    * the ts-less near-dup overload.
     */
   def conversationState(tagged: Dataset[TaggedRow]): Dataset[ConvUpdate] = {
     val spark = tagged.sparkSession
@@ -240,6 +246,55 @@ object StreamingIngest {
           }
           state.update(ConvState(maxTurn, nMentions))
           Iterator.single(ConvUpdate(convId, maxTurn, nMentions))
+        })
+  }
+
+  /** Production conversation assembly: same running state, plus
+    * event-time expiry — a conversation idle past `idleGapMs` (by
+    * watermark, so no straggler can still arrive) emits one FINAL
+    * ConvUpdate and its state is removed. Total state is bounded by the
+    * conversations active within the horizon, not the lifetime
+    * conversation count — the same bound the near-dup path carries.
+    * Takes RAW turns and tags inline (the windowedCounts pattern):
+    * chaining behind tagStream would be watermark redefinition
+    * downstream of its dedup stage, which Spark 4 disallows (sharp edge
+    * #11) — the watermark must be defined once, here, on the tagged
+    * rows' ts.
+    */
+  def conversationStateExpiring(turns: Dataset[Turn], model: Broadcast[NerModel],
+      watermarkDelay: String = "1 hour", idleGapMs: Long = 3600000L): Dataset[ConvUpdate] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns
+      .mapPartitions(tagIter(model))
+      .withWatermark("ts", watermarkDelay)
+      .as[TaggedRow]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (convId: String, rows: Iterator[TaggedRow], state: GroupState[ConvState]) => {
+          if (state.hasTimedOut) {
+            val fin = state.get
+            state.remove()
+            Iterator.single(ConvUpdate(convId, fin.maxTurn, fin.nMentions))
+          } else {
+            val prev = state.getOption.getOrElse(ConvState(-1, 0L))
+            var maxTurn = prev.maxTurn
+            var nMentions = prev.nMentions
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              if (r.turn_idx > maxTurn) maxTurn = r.turn_idx
+              nMentions += r.mentions.size
+              if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
+            }
+            state.update(ConvState(maxTurn, nMentions))
+            // clamp at the watermark: rows can legally arrive from files
+            // ordered behind the watermark (late within the horizon), and
+            // a timeout timestamp below the watermark is rejected — such a
+            // conversation then expires at the next watermark advance
+            state.setTimeoutTimestamp(
+              math.max(maxTs + idleGapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty // emit ONLY the final update, at expiry
+          }
         })
   }
 

@@ -252,6 +252,45 @@ class StreamingSpec extends AnyFunSuite {
       "replaying a manifested batch must not change the table")
   }
 
+  test("expiring conversation state emits one final update per conv and drops state") {
+    import spark.implicits._
+    val labeled = Transcripts.generateLabeled(spark, N)
+    val model = NerTraining.trainAndBroadcast(spark, Transcripts.trainSplit(labeled))
+    val dir = java.nio.file.Files.createTempDirectory("stream_se").toString
+    // drop1 (ONE file -> one batch): the conversations under test;
+    // drop2: a far-future sentinel that pushes the watermark past every
+    // conv's idle gap; drop3: a second sentinel providing the batch in
+    // which those now-passed timeouts actually FIRE (timeouts are
+    // evaluated per batch against the watermark established by the
+    // previous one)
+    val all = Transcripts.generate(spark, N).cache()
+    all.coalesce(1).write.parquet(s"$dir/drop1")
+    val maxTs = all.agg(org.apache.spark.sql.functions.max($"ts")).first()
+      .getTimestamp(0).getTime
+    Seq(graft.corpus.Turn("zz_sentinel", 0, "user", "closing sentinel turn", "",
+        new java.sql.Timestamp(maxTs + 10L * 3600 * 1000)))
+      .toDS().write.parquet(s"$dir/drop2")
+    Seq(graft.corpus.Turn("zz_sentinel", 1, "user", "second sentinel turn", "",
+        new java.sql.Timestamp(maxTs + 20L * 3600 * 1000)))
+      .toDS().write.parquet(s"$dir/drop3")
+    val stream = spark.readStream
+      .schema(spark.createDataset(Seq.empty[graft.corpus.Turn]).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/drop*")
+      .as[graft.corpus.Turn]
+    val q = StreamingIngest.conversationStateExpiring(stream, model)
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName("se").start()
+    q.processAllAvailable(); q.stop()
+    val updates = spark.table("se").collect()
+      .map(r => (r.getString(0), r.getInt(1))).filter(_._1 != "zz_sentinel")
+    // exactly ONE final update per expired conversation, with the true
+    // final max turn (nothing emitted while the conv was live)
+    assert(updates.map(_._1).distinct.length == updates.length,
+      s"multiple updates for one conv: ${updates.mkString(",")}")
+    val expected = (0L until N).map(i => (f"c$i%07d", TranscriptGen.convLength(i) - 1)).toMap
+    assert(updates.toMap == expected, s"got ${updates.length} of ${expected.size} finals")
+  }
+
   test("conversation state tracks max turn across micro-batches") {
     import spark.implicits._
     val labeled = Transcripts.generateLabeled(spark, N)
