@@ -187,6 +187,8 @@ object SparkEntry {
       """WITH m AS (SELECT conv_id, turn_idx, "start", "end"
         |           FROM '__OUTDIR__/kg_mentions/*.parquet')
         |SELECT (SELECT count(*) FROM m) AS n_mentions,
+        |  (SELECT count(*) - count(DISTINCT (conv_id, turn_idx, "start", "end")) FROM m)
+        |  AS n_duplicate_spans,
         |  (SELECT count(*) FROM m a JOIN m b
         |    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
         |    AND a."start" < b."end" AND b."start" < a."end"
@@ -424,7 +426,12 @@ object SparkEntry {
           (col("a.start") < col("b.start") ||
             (col("a.start") === col("b.start") && col("a.end") < col("b.end"))))
       Kg.built(s, d).out.mentions
-        .agg(count(lit(1)).as("n_mentions"))
+        // n_duplicate_spans: the strict pair ordering below cannot see two
+        // IDENTICAL (start,end) spans (neither ordering satisfies it), so
+        // total-overlap duplicates are counted separately — both must be 0
+        .agg(count(lit(1)).as("n_mentions"),
+          (count(lit(1)) - countDistinct(col("conv_id"), col("turn_idx"),
+            col("start"), col("end"))).as("n_duplicate_spans"))
         .crossJoin(overlaps.agg(count(lit(1)).as("n_overlapping_pairs")))
     }),
     // connector-phrase relation triples re-exposed for their contract

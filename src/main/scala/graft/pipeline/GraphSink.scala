@@ -63,13 +63,24 @@ object GraphSink {
       nBuckets: Int = 16,
       configHash: String = "v1"): WriteMetrics = {
     val done = doneBuckets(spark, outDir)
+    // a resume is only meaningful under the SAME bucketing/config: with a
+    // different nBuckets the done-bucket ids index a different partition
+    // function and the pending filter would silently drop or duplicate
+    // rows across the two layouts — refuse loudly instead
+    if (done.nonEmpty) validateResumeConfig(spark, outDir, nBuckets, configHash)
     val all = bucketed(resolvedTriples, nBuckets)
     val pending = if (done.isEmpty) all else all.where(!col("conv_bucket").isin(done.toSeq: _*))
 
     val obs = Observation(s"kg_write_${System.identityHashCode(resolvedTriples)}")
     val observed = pending.observe(obs,
       count(lit(1)).as("rows"),
-      approx_count_distinct(col("conv_id")).as("convs"))
+      approx_count_distinct(col("conv_id")).as("convs"),
+      // the set of bucket ids THIS run actually wrote, collected on the
+      // write pass itself (no extra execution): the manifest read-back
+      // below is restricted to it, so a stale unmanifested bucket
+      // directory from an earlier crashed run with different data can
+      // never be blessed with a manifest it did not earn
+      collect_set(col("conv_bucket")).as("written_buckets"))
 
     // repartition by the partition column first: one file per bucket
     // instead of (#tasks × #buckets) fragments.
@@ -91,6 +102,8 @@ object GraphSink {
     // plan then reports no metrics at all — treat as 0, don't throw
     val rows = scala.util.Try(obs.get("rows").asInstanceOf[Long]).getOrElse(0L)
     val convs = scala.util.Try(obs.get("convs").asInstanceOf[Long]).getOrElse(0L)
+    val written: Set[Int] = scala.util.Try(
+      obs.get("written_buckets").asInstanceOf[Seq[Int]].toSet).getOrElse(Set.empty)
 
     // per-bucket manifest: rows + order-independent content fingerprint,
     // computed by READING BACK the just-written partition files — NOT by
@@ -101,12 +114,15 @@ object GraphSink {
     // data just produced. Manifesting from the files also makes the
     // fingerprint describe what is actually ON DISK — the stronger
     // integrity statement for the resume protocol.
+    // restrict to the buckets this run wrote (see the observe above) —
+    // this also makes a zero-row write skip the scan entirely (a triples
+    // dir holding only _SUCCESS would fail schema inference)
     val f = fs(spark, outDir)
     val triplesDir = new Path(s"$outDir/triples")
     val perBucket =
-      if (!f.exists(triplesDir)) Array.empty[org.apache.spark.sql.Row]
+      if (written.isEmpty || !f.exists(triplesDir)) Array.empty[org.apache.spark.sql.Row]
       else spark.read.parquet(triplesDir.toString)
-        .where(if (done.isEmpty) lit(true) else !col("conv_bucket").isin(done.toSeq: _*))
+        .where(col("conv_bucket").isin(written.toSeq: _*))
         .groupBy(col("conv_bucket").cast("int").as("conv_bucket"))
         .agg(count(lit(1)).as("rows"),
           // bit_xor: order-independent content fingerprint, no ANSI overflow
@@ -117,7 +133,8 @@ object GraphSink {
     for (r <- perBucket) {
       val bucket = r.getInt(0)
       val json =
-        s"""{"bucket":$bucket,"rows":${r.getLong(1)},"fingerprint":${r.getLong(2)},"config":"$configHash"}"""
+        s"""{"bucket":$bucket,"rows":${r.getLong(1)},"fingerprint":${r.getLong(2)},""" +
+          s""""config":"$configHash","n_buckets":$nBuckets}"""
       val tmp = new Path(s"$outDir/_manifests/.bucket-$bucket.json.tmp")
       val dst = new Path(s"$outDir/_manifests/bucket-$bucket.json")
       val out = f.create(tmp, true)
@@ -129,6 +146,34 @@ object GraphSink {
       require(f.rename(tmp, dst), s"manifest commit rename failed: $tmp -> $dst")
     }
     WriteMetrics(perBucket.length, done.size, rows, convs)
+  }
+
+  /** Refuse to resume under a different partition function or config:
+    * reads one committed manifest and compares its recorded n_buckets /
+    * config against the current run's. Manifests written before these
+    * fields existed are accepted (no recorded value to contradict).
+    */
+  private def validateResumeConfig(spark: SparkSession, outDir: String,
+      nBuckets: Int, configHash: String): Unit = {
+    val f = fs(spark, outDir)
+    val dir = new Path(s"$outDir/_manifests")
+    val sample = f.listStatus(dir).toSeq
+      .map(_.getPath).find(p => p.getName.startsWith("bucket-") && p.getName.endsWith(".json"))
+    for (p <- sample) {
+      val in = f.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      for (m <- """"n_buckets":(\d+)""".r.findFirstMatchIn(json)) {
+        require(m.group(1).toInt == nBuckets,
+          s"resume with nBuckets=$nBuckets against a table committed with " +
+            s"n_buckets=${m.group(1)} ($p): the bucket ids are incompatible — " +
+            "use the original bucket count or a fresh output directory")
+      }
+      for (m <- """"config":"([^"]*)"""".r.findFirstMatchIn(json)) {
+        require(m.group(1) == configHash,
+          s"resume with config=$configHash against a table committed with " +
+            s"config=${m.group(1)} ($p): clear the output or keep the config stable")
+      }
+    }
   }
 
   def writeEntities(entities: DataFrame, outDir: String): Unit =

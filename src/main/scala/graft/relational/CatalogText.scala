@@ -31,28 +31,40 @@ object CatalogText {
     * zero explode, zero shuffle. Shared by t_minhash_lsh and its
     * signature dump t_minhash_sigs (the oracle input).
     */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val withShingles = docs(s, d)
+  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+    minhashSigsOf(docs(s, d))
+
+  /** The signature projection over ANY (doc_id, text) frame, keeping
+    * `extra` passthrough columns — the SINGLE definition shared by the
+    * batch query and the streaming near-dup path (StreamingIngest), so
+    * stream/batch banding parity holds by construction.
+    */
+  def minhashSigsOf(docsDf: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val withShingles = docsDf
       .where(size(split(col("text"), " ")) >= 3) // sequence(0,n-3) descends below 3 words
       .withColumn("shingles", expr(
         "transform(sequence(0, size(split(text, ' ')) - 3), " +
           "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"))
     val sigCols = (0 until 16).map(k =>
       expr(s"array_min(transform(shingles, sh -> xxhash64(sh, $k)))").as(s"h$k"))
-    withShingles.select(col("doc_id") +: sigCols: _*)
+    withShingles.select((col("doc_id") +: extra.map(col)) ++ sigCols: _*)
   }
 
   /** (doc_id, band, bucket) LSH band assignments — the pre-checkpoint
     * stage of t_minhash_lsh, exposed so PlanSpec can assert its shape
     * (per-row array_min signatures, stack unpivot, zero explode/shuffle).
     */
-  def minhashBands(s: SparkSession, d: String): DataFrame = {
+  def minhashBands(s: SparkSession, d: String): DataFrame =
+    minhashBandsOf(docs(s, d))
+
+  /** Band assignments over any (doc_id, text) frame (see minhashSigsOf). */
+  def minhashBandsOf(docsDf: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     val bandExprs = (0 until 4).map { b =>
       val hs = (0 until 4).map(j => s"h${b * 4 + j}").mkString(", ")
       s"$b, xxhash64(CAST($b AS BIGINT), $hs)"
     }.mkString(", ")
-    minhashSigs(s, d).select(col("doc_id"),
-      expr(s"stack(4, $bandExprs) AS (band, bucket)"))
+    minhashSigsOf(docsDf, extra).select(col("doc_id") +: extra.map(col) :+
+      expr(s"stack(4, $bandExprs) AS (band, bucket)"): _*)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -19,6 +19,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 object StreamingIngest {
 
   final case class ConvState(maxTurn: Int, nMentions: Long)
+  /** Expiring-variant state: adds the lifetime max event time (timeout
+    * monotonicity — see BucketState.maxTsMs) and the turn indexes already
+    * counted (in-horizon re-delivery dedup; bounded by the conversation
+    * length, which transcripts bound by construction).
+    */
+  final case class ConvStateX(maxTurn: Int, nMentions: Long, maxTsMs: Long, seen: Seq[Int])
   final case class ConvUpdate(conv_id: String, max_turn: Int, n_mentions: Long)
 
   /** File-source stream of turns. */
@@ -109,31 +115,21 @@ object StreamingIngest {
   final case class DocBand(doc_id: Long, band: Int, bucket: Long)
   final case class DocBandT(doc_id: Long, band: Int, bucket: Long, ts: java.sql.Timestamp)
   final case class DupCandidate(da: Long, db: Long, band: Int)
-  /** Per-(band,bucket) state: member doc ids seen so far (bounded) and
-    * whether the bucket overflowed the cap.
+  /** Per-(band,bucket) state: member doc ids seen so far (bounded),
+    * whether the bucket overflowed the cap, and the max event time seen
+    * across ALL batches (`maxTsMs` — the expiry timeout must be computed
+    * against it: a late-but-in-horizon row's batch-local max would move
+    * the timeout BACKWARD and expire the bucket early, dropping pairs).
     */
-  final case class BucketState(members: List[Long], overflowed: Boolean)
+  final case class BucketState(members: List[Long], overflowed: Boolean,
+      maxTsMs: Long = Long.MinValue)
 
-  /** Shared signature+banding projection (the zero-shuffle per-row
-    * minhash of the batch path), keeping `extra` passthrough columns.
+  /** Signature+banding projection — DELEGATES to the batch path's single
+    * definition (CatalogText.minhashBandsOf), so stream/batch banding
+    * parity holds by construction rather than by copy.
     */
-  private def bandProjection(docs: DataFrame, extra: Seq[String]): DataFrame = {
-    val withShingles = docs
-      .where(size(split(col("text"), " ")) >= 3)
-      .withColumn("shingles", expr(
-        "transform(sequence(0, size(split(text, ' ')) - 3), " +
-          "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"))
-    val sigCols = (0 until 16).map(k =>
-      expr(s"array_min(transform(shingles, sh -> xxhash64(sh, $k)))").as(s"h$k"))
-    val sigs = withShingles.select(
-      (col("doc_id") +: extra.map(col)) ++ sigCols: _*)
-    val bandExprs = (0 until 4).map { b =>
-      val hs = (0 until 4).map(j => s"h${b * 4 + j}").mkString(", ")
-      s"$b, xxhash64(CAST($b AS BIGINT), $hs)"
-    }.mkString(", ")
-    sigs.select(col("doc_id") +: extra.map(col) :+
-      expr(s"stack(4, $bandExprs) AS (band, bucket)"): _*)
-  }
+  private def bandProjection(docs: DataFrame, extra: Seq[String]): DataFrame =
+    graft.relational.CatalogText.minhashBandsOf(docs, extra)
 
   /** Streaming MinHash near-duplicate detection (the approximate-dedup
     * family's streaming twin of t_minhash_lsh): each arriving document is
@@ -198,8 +194,14 @@ object StreamingIngest {
             Iterator.empty
           } else {
             val batch = rows.toArray
+            val prevMax = state.getOption.map(_.maxTsMs).getOrElse(Long.MinValue)
             val out = emitPairs(key._1, batch.iterator.map(_.doc_id), state, maxBucket)
-            state.setTimeoutTimestamp(batch.iterator.map(_.ts.getTime).max + idleGapMs)
+            // monotone max over the bucket's whole lifetime, clamped at
+            // the watermark (a timeout below it is rejected by Spark)
+            val maxTs = math.max(prevMax, batch.iterator.map(_.ts.getTime).max)
+            state.update(state.get.copy(maxTsMs = maxTs))
+            state.setTimeoutTimestamp(
+              math.max(maxTs + idleGapMs, state.getCurrentWatermarkMs() + 1))
             out
           }
         })
@@ -259,7 +261,10 @@ object StreamingIngest {
     * chaining behind tagStream would be watermark redefinition
     * downstream of its dedup stage, which Spark 4 disallows (sharp edge
     * #11) — the watermark must be defined once, here, on the tagged
-    * rows' ts.
+    * rows' ts. Re-delivered (conv, turn_idx) pairs inside the horizon
+    * are deduped INSIDE the state (tagStream's dropDuplicates stage is
+    * unreachable from here for the same watermark reason), so replayed
+    * drops cannot inflate the final mention counts.
     */
   def conversationStateExpiring(turns: Dataset[Turn], model: Broadcast[NerModel],
       watermarkDelay: String = "1 hour", idleGapMs: Long = 3600000L): Dataset[ConvUpdate] = {
@@ -271,26 +276,31 @@ object StreamingIngest {
       .as[TaggedRow]
       .groupByKey(_.conv_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (convId: String, rows: Iterator[TaggedRow], state: GroupState[ConvState]) => {
+        (convId: String, rows: Iterator[TaggedRow], state: GroupState[ConvStateX]) => {
           if (state.hasTimedOut) {
             val fin = state.get
             state.remove()
             Iterator.single(ConvUpdate(convId, fin.maxTurn, fin.nMentions))
           } else {
-            val prev = state.getOption.getOrElse(ConvState(-1, 0L))
+            val prev = state.getOption.getOrElse(ConvStateX(-1, 0L, Long.MinValue, Seq.empty))
             var maxTurn = prev.maxTurn
             var nMentions = prev.nMentions
-            var maxTs = Long.MinValue
+            var maxTs = prev.maxTsMs // lifetime max: a late in-horizon row
+            // must never move the timeout backward (premature final +
+            // state re-creation would emit a second, partial final)
+            var seen = prev.seen
             rows.foreach { r =>
-              if (r.turn_idx > maxTurn) maxTurn = r.turn_idx
-              nMentions += r.mentions.size
               if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
+              if (!seen.contains(r.turn_idx)) {
+                seen = seen :+ r.turn_idx
+                if (r.turn_idx > maxTurn) maxTurn = r.turn_idx
+                nMentions += r.mentions.size
+              }
             }
-            state.update(ConvState(maxTurn, nMentions))
+            state.update(ConvStateX(maxTurn, nMentions, maxTs, seen))
             // clamp at the watermark: rows can legally arrive from files
             // ordered behind the watermark (late within the horizon), and
-            // a timeout timestamp below the watermark is rejected — such a
-            // conversation then expires at the next watermark advance
+            // a timeout timestamp below the watermark is rejected
             state.setTimeoutTimestamp(
               math.max(maxTs + idleGapMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty // emit ONLY the final update, at expiry

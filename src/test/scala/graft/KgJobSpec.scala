@@ -71,5 +71,13 @@ class KgJobSpec extends AnyFunSuite {
       .select("conv_id", "turn_idx", "subj", "pred", "obj").collect()
       .map(_.toSeq).sortBy(_.toString)
     assert(after.sameElements(want), "resume changed the materialized table")
+
+    // resuming under a DIFFERENT bucket count must refuse loudly: the
+    // committed manifest ids index another partition function and a
+    // silent resume would lose/duplicate rows across the two layouts
+    val e = intercept[IllegalArgumentException] {
+      KgJob.run(spark, input, modelPath, output, buckets = 4)
+    }
+    assert(e.getMessage.contains("n_buckets"), e.getMessage)
   }
 }
