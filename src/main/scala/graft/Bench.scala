@@ -69,9 +69,17 @@ object Bench {
     val scale = graft.pipeline.ScaleLinking.run(spark)
     val scaleSec = (System.nanoTime() - tS) / 1e9
 
+    // streaming twin of the scale exercise: 205k docs through the
+    // expiring near-dup path on RocksDB state — proves exactly-once
+    // pairs, hot-bucket cap, and event-time state expiry at bench scale
+    val tStr = System.nanoTime()
+    val stream = graft.streaming.StreamingScale.run(spark)
+    val streamSec = (System.nanoTime() - tStr) / 1e9
+
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val all = results :+ ("kg_flagship_build" -> flagshipSec) :+
-      ("kg_role_train_score" -> roleSec) :+ ("kg_scale_linking" -> scaleSec)
+      ("kg_role_train_score" -> roleSec) :+ ("kg_scale_linking" -> scaleSec) :+
+      ("kg_stream_scale" -> streamSec)
     val total = all.map(_._2).sum
 
     // full per-query table -> file artifact (every timing, 3 decimals)
@@ -93,7 +101,10 @@ object Bench {
         s""""role_train_score_sec":${r3(roleSec)},""" +
         s""""scale_nodes":${scale.nodes},"scale_components":${scale.components},""" +
         s""""scale_cc_iterations":${scale.ccIterations},"scale_overflow_blocks":${scale.overflowBlocks},""" +
-        s""""scale_resolved_with_id":${scale.resolvedWithId},"scale_triples":${scale.triples}}""")
+        s""""scale_resolved_with_id":${scale.resolvedWithId},"scale_triples":${scale.triples},""" +
+        s""""stream_docs":${stream.docs},"stream_pairs":${stream.pairs},""" +
+        s""""stream_hot_pairs":${stream.hotPairs},"stream_state_peak":${stream.statePeak},""" +
+        s""""stream_state_after_expiry":${stream.stateAfterExpiry}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Bench-scale streaming exercise (the streaming twin of
+  * pipeline.ScaleLinking): pushes a deduplication workload through
+  * [[StreamingIngest.nearDupCandidatesExpiring]] on the RocksDB state
+  * store at a scale the specs don't reach, and proves the three scale
+  * properties the design claims:
+  *
+  *   1. cross-batch candidate pairs are found exactly once per
+  *      (pair, band) across 100k near-dup families;
+  *   2. a degenerate hot bucket (thousands of identical docs) is CAPPED
+  *      — its pair count stays ~quadratic-in-cap, not quadratic-in-size;
+  *   3. event-time expiry BOUNDS state: after the watermark passes the
+  *      idle gap, the state store drops to the sentinel buckets instead
+  *      of retaining every bucket ever seen.
+  *
+  * Deterministic (texts from xxhash64 of the family id), file-source
+  * drops so the watermark advances across real micro-batches.
+  */
+object StreamingScale {
+
+  final case class Result(
+      docs: Long, pairs: Long, hotPairs: Long,
+      statePeak: Long, stateAfterExpiry: Long, wallSec: Double)
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark)
+    println(s"""{"stream_docs":${r.docs},"stream_pairs":${r.pairs},""" +
+      s""""stream_hot_pairs":${r.hotPairs},"stream_state_peak":${r.statePeak},""" +
+      s""""stream_state_after_expiry":${r.stateAfterExpiry},"stream_wall_sec":${r.wallSec}}""")
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, nFamilies: Int = 100000, hotCopies: Int = 5000): Result = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_scale").toString
+    val t0 = 1700000000000L
+    val hotBase = nFamilies * 2L
+
+    // 2 exact copies per family (pair expected per band), event times
+    // spread over one hour; 10 deterministic words per family text
+    val textExpr = expr(
+      "concat_ws(' ', transform(sequence(0, 9), k -> concat('w', pmod(xxhash64(fam, k), 997))))")
+    val bulk = spark.range(nFamilies * 2L)
+      .select(col("id").as("doc_id"), (col("id") / 2).cast("long").as("fam"))
+      .withColumn("text", textExpr)
+      .withColumn("ts", expr(s"timestamp_millis(${t0}L + (fam % 3600) * 1000)"))
+      .select("doc_id", "text", "ts")
+    // the hot bucket: `hotCopies` more copies of family 0's text
+    val hot = spark.range(hotCopies.toLong)
+      .select((col("id") + hotBase).as("doc_id"), lit(0L).as("fam"))
+      .withColumn("text", textExpr)
+      .withColumn("ts", expr(s"timestamp_millis(${t0}L + (doc_id % 3600) * 1000)"))
+      .select("doc_id", "text", "ts")
+    bulk.unionByName(hot).repartition(8).write.parquet(s"$dir/drop1")
+    // two far-future sentinels: the first advances the watermark past
+    // every bulk bucket's idle gap, the second supplies the batch in
+    // which those timeouts fire (timeouts are evaluated against the
+    // watermark established by the previous batch)
+    Seq((hotBase + hotCopies, "sentinel one advancing the watermark far ahead",
+        new java.sql.Timestamp(t0 + 10L * 3600 * 1000)),
+      (hotBase + hotCopies + 1, "sentinel two firing the expired timeouts now",
+        new java.sql.Timestamp(t0 + 20L * 3600 * 1000)))
+      .toDF("doc_id", "text", "ts")
+      .coalesce(1).write.parquet(s"$dir/drop2")
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tW = System.nanoTime()
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "4")
+        .parquet(s"$dir/drop*")
+      val q = StreamingIngest.nearDupCandidatesExpiring(stream)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("stream_scale")
+        .option("checkpointLocation", s"$dir/_ckpt")
+        .start()
+      q.processAllAvailable()
+      val progresses = q.recentProgress.toSeq
+      q.stop()
+      val wall = (System.nanoTime() - tW) / 1e9
+      val stateRows = progresses.flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+      val out = spark.table("stream_scale").cache()
+      val pairs = out.count()
+      val hotPairs = out.where(col("db") >= hotBase).count()
+      out.unpersist()
+      Result(nFamilies * 2L + hotCopies + 2, pairs, hotPairs,
+        if (stateRows.isEmpty) 0L else stateRows.max,
+        if (stateRows.isEmpty) 0L else stateRows.last, wall)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      prev.foreach(spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    }
+  }
+}
