@@ -107,6 +107,64 @@ object NativeFunctions {
     min
   }
 
+  /** All 16 MinHash signatures of a document in ONE zero-allocation pass
+    * (the dedup family's hot path — the previous form ran 16 INTERPRETED
+    * `array_min(transform(shingles, sh -> xxhash64(sh, k)))` lambdas per
+    * row after materializing a shingle array; sharp edge #9).
+    *
+    * Exactness: `split(text, ' ')` tokens are the byte spans between
+    * single 0x20 separators (empties included), and `concat_ws(' ', 3
+    * consecutive tokens)` reproduces EXACTLY the original byte span from
+    * token w's first byte to token w+2's last byte — so hashing that
+    * span in place with Spark's own XXH64 yields bit-identical values to
+    * `xxhash64(shingle, k)` with no shingle strings ever allocated
+    * (0x20 never occurs inside a UTF-8 multibyte sequence, so this holds
+    * for any input). Returns null for docs under 3 tokens — the same
+    * rows the SQL guard `size(split(text,' ')) >= 3` removed, now
+    * filterable with a plain isNotNull.
+    */
+  def minhashSigs16(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // token start offsets (token t starts after the t-th space)
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (s.getByte(i) == ' '.toByte) spaces += 1; i += 1 }
+    val nTok = spaces + 1
+    if (nTok < 3) return null
+    val starts = new Array[Int](nTok)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < n) { if (s.getByte(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }; i += 1 }
+    val mins = Array.fill(16)(Long.MaxValue)
+    var w = 0
+    while (w <= nTok - 3) {
+      val st = starts(w)
+      val en = if (w + 3 < nTok) starts(w + 3) - 1 else n
+      val len = en - st
+      // Spark's xxhash64(sh, k) is a SEED CHAIN: hash each argument with
+      // the previous result as seed, starting from 42 — i.e.
+      // hashInt(k, hashBytes(sh, 42)). Mirroring it means ONE string
+      // hash + 16 int hashes per shingle (the idiom paid 16 string
+      // hashes; bit-identical either way, pinned by ExpressionsSpec)
+      val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + st, len, 42L)
+      var k = 0
+      while (k < 16) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(k, h1)
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  def minhash_sigs(c: Column): Column =
+    GraftColumnBridge.column(MinhashSigsExpr(GraftColumnBridge.expression(c)))
+
   def normalize_surface(c: Column): Column =
     GraftColumnBridge.column(NormalizeSurfaceExpr(GraftColumnBridge.expression(c)))
   def case_signature(c: Column): Column =
@@ -125,7 +183,33 @@ object NativeFunctions {
       exprs => WinnowFingerprintExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("pal_dot",
       exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("pal_minhash_sigs",
+      exprs => MinhashSigsExpr(exprs.head), "built-in")
   }
+}
+
+/** See NativeFunctions.minhashSigs16. NULL for docs under 3 tokens. */
+case class MinhashSigsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pal_minhash_sigs"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeFunctions.minhashSigs16(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+         |  graft.functions.NativeFunctions.minhashSigs16($c);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigsExpr =
+    copy(child = newChild)
 }
 
 /** Null-strict twin of DotProductExpr (see NativeFunctions

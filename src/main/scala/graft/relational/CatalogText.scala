@@ -38,16 +38,21 @@ object CatalogText {
     * `extra` passthrough columns — the SINGLE definition shared by the
     * batch query and the streaming near-dup path (StreamingIngest), so
     * stream/batch banding parity holds by construction.
+    *
+    * Signatures come from the native codegen'd MinhashSigsExpr: all 16
+    * hashes in one zero-allocation pass over the text bytes,
+    * bit-identical to the declarative
+    * `array_min(transform(shingles, sh -> xxhash64(sh, k)))` idiom it
+    * replaces (ExpressionsSpec pins the equality; the t_minhash_sigs
+    * dump + t_minhash_lsh DuckDB oracle pin it cross-engine). NULL for
+    * docs under 3 tokens == the old `size(split(text,' ')) >= 3` guard.
     */
   def minhashSigsOf(docsDf: DataFrame, extra: Seq[String] = Nil): DataFrame = {
-    val withShingles = docsDf
-      .where(size(split(col("text"), " ")) >= 3) // sequence(0,n-3) descends below 3 words
-      .withColumn("shingles", expr(
-        "transform(sequence(0, size(split(text, ' ')) - 3), " +
-          "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"))
-    val sigCols = (0 until 16).map(k =>
-      expr(s"array_min(transform(shingles, sh -> xxhash64(sh, $k)))").as(s"h$k"))
-    withShingles.select((col("doc_id") +: extra.map(col)) ++ sigCols: _*)
+    val sigCols = (0 until 16).map(k => element_at(col("sigs"), k + 1).as(s"h$k"))
+    docsDf
+      .withColumn("sigs", graft.functions.NativeFunctions.minhash_sigs(col("text")))
+      .where(col("sigs").isNotNull)
+      .select((col("doc_id") +: extra.map(col)) ++ sigCols: _*)
   }
 
   /** (doc_id, band, bucket) LSH band assignments — the pre-checkpoint

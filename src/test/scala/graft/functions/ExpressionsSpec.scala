@@ -33,6 +33,48 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash signature expression == the declarative HOF idiom bit-for-bit") {
+    import spark.implicits._
+    // adversarial shapes: double/leading/trailing spaces create EMPTY
+    // split tokens; multibyte UTF-8; exactly-3 and under-3 tokens
+    val texts = Seq(
+      "alpha beta gamma delta epsilon",
+      "one two three",
+      "two words", "single", "",
+      "  leading and trailing  ",
+      "double  space  tokens here",
+      "unicode tökens höre über many wörds",
+      "a b c d e f g h i j k l m n o p") ++
+      (0 until 50).map(i => s"w${i % 7} x${i % 5} y${i % 3} z$i tail${i % 2}")
+    val df = texts.toDF("text")
+    val got = df.select(col("text"),
+        NativeFunctions.minhash_sigs(col("text")).as("sigs"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+      .toMap
+    // under-3-token docs: the native expression must return null (these
+    // rows crash the HOF idiom itself — the sharp edge the old SQL guard
+    // existed for — so the reference is only evaluable on >= 3 tokens)
+    val shortOnes = df.where(size(split(col("text"), " ")) < 3)
+      .collect().map(_.getString(0))
+    for (text <- shortOnes)
+      assert(got(text) == null, s"'$text' must be null under 3 tokens")
+    val want = df
+      .where(size(split(col("text"), " ")) >= 3)
+      .withColumn("shingles", expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"))
+      .select(col("text"),
+        array((0 until 16).map(k =>
+          expr(s"array_min(transform(shingles, sh -> xxhash64(sh, $k)))")): _*).as("sigs"))
+      .collect()
+    assert(want.length + shortOnes.length == texts.distinct.length)
+    for (r <- want) {
+      val text = r.getString(0)
+      assert(got(text) == r.getSeq[Long](1), s"signature mismatch for '$text'")
+    }
+  }
+
   test("plan contains no ScalaUDF and stays in whole-stage codegen") {
     val df = names.select(NativeFunctions.normalize_surface(col("s")).as("n"))
     val plan = df.queryExecution.executedPlan.toString

@@ -88,9 +88,11 @@ class PlanSpec extends AnyFunSuite {
     // or signature explosion would appear as explode/posexplode
     assert(!bands.contains("posexplode") && !bands.contains("explode("),
       bands.take(2000))
-    // signatures are per-row array_min projections — no explode, no
-    // aggregation, no shuffle before the band stack
-    assert(bands.contains("array_min"), bands.take(2000))
+    // signatures come from the native codegen'd single-pass expression —
+    // no shingle arrays, no interpreted lambdas, no shuffle before the
+    // band stack
+    assert(bands.contains("pal_minhash_sigs"), bands.take(2000))
+    assert(!bands.contains("lambdafunction"), bands.take(2000))
     assert(!bands.contains("Exchange"), bands.take(2000))
     // hot LSH buckets are excluded from the self-join via anti-join
     // (the candidateEdges cap pattern — scale guard against quadratic
