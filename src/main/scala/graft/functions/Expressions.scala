@@ -165,6 +165,30 @@ object NativeFunctions {
   def minhash_sigs(c: Column): Column =
     GraftColumnBridge.column(MinhashSigsExpr(GraftColumnBridge.expression(c)))
 
+  /** All character 3-grams of a string in one pass — the codegen'd twin
+    * of `transform(sequence(1, length(text) - 2), i -> substring(text,
+    * i, 3))` (the language-ID family's per-row stage, previously an
+    * interpreted lambda). substringSQL implements exactly Spark's
+    * `substring` semantics (1-based, codepoint-counting), so the grams
+    * are byte-identical to the idiom AND to DuckDB's substring in the
+    * t_lang_ngram oracle. NULL under 3 characters — the rows the
+    * `length(text) >= 3` guard removed (sequence(1, n-2) descends there).
+    */
+  def charTrigrams(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = s.numChars()
+    if (n < 3) return null
+    val out = new Array[AnyRef](n - 2)
+    var i = 1
+    while (i <= n - 2) {
+      out(i - 1) = s.substringSQL(i, 3)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def char_trigrams(c: Column): Column =
+    GraftColumnBridge.column(CharTrigramsExpr(GraftColumnBridge.expression(c)))
+
   def normalize_surface(c: Column): Column =
     GraftColumnBridge.column(NormalizeSurfaceExpr(GraftColumnBridge.expression(c)))
   def case_signature(c: Column): Column =
@@ -185,7 +209,33 @@ object NativeFunctions {
       exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("pal_minhash_sigs",
       exprs => MinhashSigsExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("pal_char_trigrams",
+      exprs => CharTrigramsExpr(exprs.head), "built-in")
   }
+}
+
+/** See NativeFunctions.charTrigrams. NULL for strings under 3 chars. */
+case class CharTrigramsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pal_char_trigrams"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeFunctions.charTrigrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+         |  graft.functions.NativeFunctions.charTrigrams($c);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): CharTrigramsExpr =
+    copy(child = newChild)
 }
 
 /** See NativeFunctions.minhashSigs16. NULL for docs under 3 tokens. */

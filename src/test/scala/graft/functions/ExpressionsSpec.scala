@@ -75,6 +75,24 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("char trigram expression == the transform/substring idiom") {
+    import spark.implicits._
+    val texts = Seq("abc", "abcd", "ab", "a", "",
+      "hello world of text", "tökens höre über", "a b c d")
+    val df = texts.toDF("text")
+    val got = df.select(col("text"), NativeFunctions.char_trigrams(col("text")).as("gs"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    val want = df.where(length(col("text")) >= 3)
+      .select(col("text"),
+        expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))").as("gs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    for (t <- texts) {
+      if (t.length < 3) assert(got(t) == null, s"'$t' must be null under 3 chars")
+      else assert(got(t) == want(t), s"trigram mismatch for '$t'")
+    }
+  }
+
   test("plan contains no ScalaUDF and stays in whole-stage codegen") {
     val df = names.select(NativeFunctions.normalize_surface(col("s")).as("n"))
     val plan = df.queryExecution.executedPlan.toString
