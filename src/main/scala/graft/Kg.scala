@@ -69,14 +69,19 @@ object Kg {
         graft.semantics.BayesScorer).cache()
     })
 
+  /** Column twin of TranscriptGen.isEval (convIdx % 5 == 4) over the
+    * "c%07d" conv_id format — codegen'd, no ScalaUDF on the query paths.
+    */
+  private def isEvalCol: org.apache.spark.sql.Column =
+    pmod(expr("CAST(substring(conv_id, 2) AS BIGINT)"), lit(5)) === 4
+
   /** NER error classes on the eval split (SURVEY.md §2 row 38). */
   def nerErrors(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val b = built(spark, sfDir)
-    val isEvalUdf = udf((c: String) => graft.corpus.TranscriptGen.isEval(c.drop(1).toLong))
-    val pred = b.out.mentions.where(isEvalUdf($"conv_id"))
+    val pred = b.out.mentions.where(isEvalCol)
       .select($"conv_id", $"turn_idx", $"start", $"end", $"tag")
-    val gold = b.labeled.where(isEvalUdf($"conv_id"))
+    val gold = b.labeled.where(isEvalCol)
       .select($"conv_id", $"turn_idx", explode($"gold").as("g"))
       .select($"conv_id", $"turn_idx", $"g.start", $"g.end", $"g.tag")
     pipeline.NerEval.errorClasses(spark, pred, gold)
@@ -88,8 +93,7 @@ object Kg {
   def evalPred(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val b = built(spark, sfDir)
-    val isEvalUdf = udf((c: String) => graft.corpus.TranscriptGen.isEval(c.drop(1).toLong))
-    b.out.mentions.where(isEvalUdf($"conv_id"))
+    b.out.mentions.where(isEvalCol)
       .select($"conv_id", $"turn_idx", $"start", $"end", $"tag")
   }
 
@@ -97,8 +101,7 @@ object Kg {
   def evalGold(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val b = built(spark, sfDir)
-    val isEvalUdf = udf((c: String) => graft.corpus.TranscriptGen.isEval(c.drop(1).toLong))
-    b.labeled.where(isEvalUdf($"conv_id"))
+    b.labeled.where(isEvalCol)
       .select($"conv_id", $"turn_idx", explode($"gold").as("g"))
       .select($"conv_id", $"turn_idx", $"g.start", $"g.end", $"g.tag")
   }
