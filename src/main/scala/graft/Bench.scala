@@ -48,7 +48,6 @@ object Bench {
     val nTurns = built.out.tagged.count()
     val nEntities = built.out.entities.count()
     val flagshipSec = (System.nanoTime() - t0) / 1e9
-    val turnsPerSec = nTurns / flagshipSec
 
     // role-classifier warm-up: train + score, timed as its own stage
     val tR = System.nanoTime()
@@ -76,8 +75,22 @@ object Bench {
     val stream = graft.streaming.StreamingScale.run(spark)
     val streamSec = (System.nanoTime() - tStr) / 1e9
 
+    // second COLD flagship build: host CPU steal inflates any single
+    // wall 2–6× (BENCH/BASELINE.md), and the flagship number is the
+    // BASELINE.json headline — min-of-2 is the documented estimator
+    Kg.evict(sfDir)
+    val t2 = System.nanoTime()
+    val built2 = Kg.built(spark, sfDir)
+    val n2 = built2.out.resolvedTriples.count()
+    built2.out.tagged.count()
+    val flagship2 = (System.nanoTime() - t2) / 1e9
+    require(n2 == nTriples, s"cold rebuild diverged: $n2 != $nTriples")
+    val flagshipMin = math.min(flagshipSec, flagship2)
+    val turnsPerSecMin = nTurns / flagshipMin
+
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val all = results :+ ("kg_flagship_build" -> flagshipSec) :+
+    val all = results :+ ("kg_flagship_build" -> flagshipMin) :+
+      ("kg_flagship_build_run1" -> flagshipSec) :+ ("kg_flagship_build_run2" -> flagship2) :+
       ("kg_role_train_score" -> roleSec) :+ ("kg_scale_linking" -> scaleSec) :+
       ("kg_stream_scale" -> streamSec)
     val total = all.map(_._2).sum
@@ -97,7 +110,8 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"sf":"$sfDir",""" +
         s""""n_queries":${all.size},"queries_file":"BENCH/queries_r3.json",""" +
         s""""turns":$nTurns,"triples":$nTriples,"entities":$nEntities,""" +
-        s""""flagship_sec":${r3(flagshipSec)},"turns_per_sec":${r3(turnsPerSec)},""" +
+        s""""flagship_sec":${r3(flagshipMin)},"turns_per_sec":${r3(turnsPerSecMin)},""" +
+        s""""flagship_walls":[${r3(flagshipSec)},${r3(flagship2)}],""" +
         s""""role_train_score_sec":${r3(roleSec)},""" +
         s""""scale_nodes":${scale.nodes},"scale_components":${scale.components},""" +
         s""""scale_cc_iterations":${scale.ccIterations},"scale_overflow_blocks":${scale.overflowBlocks},""" +

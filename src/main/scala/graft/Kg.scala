@@ -24,6 +24,22 @@ object Kg {
   def built(spark: SparkSession, sfDir: String): Built =
     cache.getOrElseUpdate(sfDir, build(spark, sfDir))
 
+  /** Drop every cached artifact for `sfDir` (and unpersist its cached
+    * datasets) so the next `built` call is a COLD end-to-end build —
+    * used by Bench's min-of-2 flagship measurement (host CPU steal can
+    * inflate any single wall 2–6×; see BENCH/BASELINE.md).
+    */
+  def evict(sfDir: String): Unit = {
+    cache.remove(sfDir).foreach { b =>
+      b.labeled.unpersist()
+      b.out.tagged.unpersist()
+      b.out.nodes.unpersist()
+      b.out.resolvedTriples.unpersist()
+    }
+    roleCache.remove(sfDir).foreach(_.unpersist())
+    roleModelCache.remove(sfDir)
+  }
+
   private def build(spark: SparkSession, sfDir: String): Built = {
     import spark.implicits._
     val nConvs = Transcripts.convsForSfDir(sfDir)
