@@ -81,23 +81,30 @@ object Bench {
     Kg.evict(sfDir)
     val t2 = System.nanoTime()
     val built2 = Kg.built(spark, sfDir)
+    // IDENTICAL action set to run 1 — the two walls must measure the
+    // same work or the min compares workloads instead of steal windows
     val n2 = built2.out.resolvedTriples.count()
     built2.out.tagged.count()
+    val e2 = built2.out.entities.count()
     val flagship2 = (System.nanoTime() - t2) / 1e9
-    require(n2 == nTriples, s"cold rebuild diverged: $n2 != $nTriples")
+    require(n2 == nTriples && e2 == nEntities,
+      s"cold rebuild diverged: triples $n2 != $nTriples or entities $e2 != $nEntities")
     val flagshipMin = math.min(flagshipSec, flagship2)
     val turnsPerSecMin = nTurns / flagshipMin
 
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // `all` counts the flagship ONCE (the min) — total and the top-10
+    // must not triple-count the two walls; the raw walls go ONLY to the
+    // per-query file and the flagship_walls field
     val all = results :+ ("kg_flagship_build" -> flagshipMin) :+
-      ("kg_flagship_build_run1" -> flagshipSec) :+ ("kg_flagship_build_run2" -> flagship2) :+
       ("kg_role_train_score" -> roleSec) :+ ("kg_scale_linking" -> scaleSec) :+
       ("kg_stream_scale" -> streamSec)
     val total = all.map(_._2).sum
 
     // full per-query table -> file artifact (every timing, 3 decimals)
     Files.createDirectories(Paths.get("BENCH"))
-    val fileJson = all.sortBy(-_._2)
+    val fileJson = (all :+ ("kg_flagship_build_run1" -> flagshipSec) :+
+        ("kg_flagship_build_run2" -> flagship2)).sortBy(-_._2)
       .map { case (k, v) => s"""  "$k": ${r3(v)}""" }
       .mkString("{\n", ",\n", "\n}\n")
     Files.writeString(Paths.get("BENCH/queries_r3.json"), fileJson)

@@ -85,11 +85,14 @@ object Kg {
         graft.semantics.BayesScorer).cache()
     })
 
-  /** Column twin of TranscriptGen.isEval (convIdx % 5 == 4) over the
-    * "c%07d" conv_id format — codegen'd, no ScalaUDF on the query paths.
+  /** Column twin of TranscriptGen.isEval over the "c%07d" conv_id
+    * format — codegen'd, no ScalaUDF on the query paths; built from the
+    * generator's own split constants so one definition rules both sides.
     */
   private def isEvalCol: org.apache.spark.sql.Column =
-    pmod(expr("CAST(substring(conv_id, 2) AS BIGINT)"), lit(5)) === 4
+    pmod(expr("CAST(substring(conv_id, 2) AS BIGINT)"),
+      lit(graft.corpus.TranscriptGen.SPLIT_MOD)) ===
+      graft.corpus.TranscriptGen.EVAL_REMAINDER
 
   /** NER error classes on the eval split (SURVEY.md §2 row 38). */
   def nerErrors(spark: SparkSession, sfDir: String): DataFrame = {

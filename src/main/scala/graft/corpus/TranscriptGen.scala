@@ -285,6 +285,12 @@ object TranscriptGen {
   def corpus(nConvs: Int): Seq[LabeledTurn] =
     (0L until nConvs.toLong).flatMap(turnsForConv)
 
-  /** Train/eval split: every 5th conversation is held out. */
-  def isEval(convIdx: Long): Boolean = convIdx % 5 == 4
+  /** Train/eval split: every 5th conversation is held out. The
+    * constants are the single source of truth — Kg.isEvalCol builds the
+    * codegen'd column twin from them, so the split cannot silently
+    * diverge between the generator and the query paths.
+    */
+  val SPLIT_MOD = 5
+  val EVAL_REMAINDER = 4
+  def isEval(convIdx: Long): Boolean = convIdx % SPLIT_MOD == EVAL_REMAINDER
 }

@@ -44,7 +44,8 @@ object StreamingScale {
 
   def run(spark: SparkSession, nFamilies: Int = 100000, hotCopies: Int = 5000): Result = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("stream_scale").toString
+    val dirPath = java.nio.file.Files.createTempDirectory("stream_scale")
+    val dir = dirPath.toString
     val t0 = 1700000000000L
     val hotBase = nFamilies * 2L
 
@@ -104,6 +105,10 @@ object StreamingScale {
     } finally {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       prev.foreach(spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+      spark.catalog.dropTempView("stream_scale")
+      // ~hundreds of MB of generated parquet + RocksDB checkpoint per
+      // run — recursive delete so repeated bench rounds don't fill /tmp
+      scala.reflect.io.Directory(dirPath.toFile).deleteRecursively()
     }
   }
 }
