@@ -107,15 +107,15 @@ object Bench {
         ("kg_flagship_build_run2" -> flagship2)).sortBy(-_._2)
       .map { case (k, v) => s"""  "$k": ${r3(v)}""" }
       .mkString("{\n", ",\n", "\n}\n")
-    Files.writeString(Paths.get("BENCH/queries_r3.json"), fileJson)
+    Files.writeString(Paths.get("BENCH/queries_r4.json"), fileJson)
 
     // contract line: headline metrics + the 10 slowest queries only
     val top = all.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(
+    val contractLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"sf":"$sfDir",""" +
-        s""""n_queries":${all.size},"queries_file":"BENCH/queries_r3.json",""" +
+        s""""n_queries":${all.size},"queries_file":"BENCH/queries_r4.json",""" +
         s""""turns":$nTurns,"triples":$nTriples,"entities":$nEntities,""" +
         s""""flagship_sec":${r3(flagshipMin)},"turns_per_sec":${r3(turnsPerSecMin)},""" +
         s""""flagship_walls":[${r3(flagshipSec)},${r3(flagship2)}],""" +
@@ -125,7 +125,14 @@ object Bench {
         s""""scale_resolved_with_id":${scale.resolvedWithId},"scale_triples":${scale.triples},""" +
         s""""stream_docs":${stream.docs},"stream_pairs":${stream.pairs},""" +
         s""""stream_hot_pairs":${stream.hotPairs},"stream_state_peak":${stream.statePeak},""" +
-        s""""stream_state_after_expiry":${stream.stateAfterExpiry}}""")
+        s""""stream_state_after_expiry":${stream.stateAfterExpiry}}"""
+    // Printed twice: once here (insurance against anything after us
+    // truncating the tail) and once AFTER spark.stop() so Spark's
+    // shutdown WARN chatter cannot land between the contract line and
+    // process exit — the driver parses the LAST json line of a bounded
+    // stdout tail.
+    println(contractLine)
     spark.stop()
+    println(contractLine)
   }
 }

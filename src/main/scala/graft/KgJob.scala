@@ -33,8 +33,20 @@ object KgJob {
       turns: Long, triples: Long, entities: Long, edges: Long,
       bucketsWritten: Int, bucketsSkipped: Int)
 
+  private val knownFlags = Set("--input", "--model", "--output", "--buckets")
+
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    // Strict parse (ADVICE r3): a misspelled flag or dangling token must
+    // fail loudly, not silently fall back to a default that the resume
+    // guard only catches on a later re-run against the same output dir.
+    if (args.length % 2 != 0)
+      sys.error(s"odd argument list ${args.mkString(" ")}; expected --flag value pairs " +
+        s"from ${knownFlags.mkString(", ")}")
+    val pairs = args.grouped(2).map { case Array(k, v) => k -> v }.toSeq
+    val unknown = pairs.map(_._1).filterNot(knownFlags)
+    if (unknown.nonEmpty)
+      sys.error(s"unknown option(s) ${unknown.mkString(", ")}; accepted: ${knownFlags.mkString(", ")}")
+    val opts = pairs.toMap
     val input = opts.getOrElse("--input", sys.error("--input <transcripts parquet> required"))
     val modelPath = opts.getOrElse("--model", sys.error("--model <ner model parquet> required"))
     val output = opts.getOrElse("--output", sys.error("--output <graph dir> required"))

