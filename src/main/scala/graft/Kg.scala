@@ -33,6 +33,7 @@ object Kg {
     cache.remove(sfDir).foreach { b =>
       b.labeled.unpersist()
       b.out.tagged.unpersist()
+      b.out.mentions.unpersist()
       b.out.nodes.unpersist()
       b.out.resolvedTriples.unpersist()
     }
@@ -51,6 +52,13 @@ object Kg {
       graft.corpus.Turn(r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts))
     val out = KgPipeline.run(spark, turns, bc)
     out.resolvedTriples.cache()
+    // mentions is DERIVED (explode over the cached tagged set) — ~8
+    // queries each re-ran the explode+normalize on every reference, and
+    // under memory pressure a partially-evicted tagged cache turns that
+    // into a full re-tag (the likely kg_gazetteer_disambig 21 s outlier
+    // in the r3 driver bench; warm min-of-3 is 1.7 s). One cached copy
+    // of the small exploded table removes the re-derivation entirely.
+    out.mentions.cache()
     Built(nConvs, model, out, labeled)
   }
 
