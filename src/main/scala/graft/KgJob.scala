@@ -69,7 +69,11 @@ object KgJob {
     import spark.implicits._
     val turns = spark.read.parquet(input).as[Turn]
     val model = spark.sparkContext.broadcast(NerTraining.load(spark, modelPath))
-    val out = KgPipeline.run(spark, turns, model)
+    // CC frontier checkpoints live under the job output dir: a killed
+    // linking phase resumes the label-propagation loop from its last
+    // committed iteration instead of iteration 0 (engaged on the
+    // >CC_LOCAL_THRESHOLD loop path; see connectedComponentsLoopDurable)
+    val out = KgPipeline.run(spark, turns, model, Some(s"$output/_cc_checkpoints"))
     // resolvedTriples feeds the triple write AND the edges aggregation —
     // cache it so graph materialization costs one pipeline execution
     out.resolvedTriples.cache()

@@ -2,10 +2,13 @@ package graft.pipeline
 
 import graft.corpus.Turn
 import graft.semantics._
+import org.apache.hadoop.fs.Path
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+
+import java.nio.charset.StandardCharsets
 
 /** The flagship KG-construction job (SURVEY.md §3.3, BASELINE.json
   * north_star): transcripts → stable turn ordering → batched
@@ -135,10 +138,14 @@ object KgPipeline {
     */
   val CC_LOCAL_THRESHOLD = 200000L
 
-  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
     val n = nodes.count()
     if (n <= CC_LOCAL_THRESHOLD) connectedComponentsLocal(nodes, edges)
-    else connectedComponentsLoop(nodes, edges)
+    else checkpointDir match {
+      case Some(dir) => connectedComponentsLoopDurable(nodes, edges, dir)
+      case None      => connectedComponentsLoop(nodes, edges)
+    }
   }
 
   /** Driver-side union-find over the (small) collected node/edge sets. */
@@ -169,27 +176,45 @@ object KgPipeline {
     * connected component. localCheckpoint() per iteration truncates
     * lineage; convergence via changed-count.
     */
+  /** One min-label-propagation step: neighbor-min join + least-label
+    * update. Returns the new (node_id, component) frontier — already
+    * localCheckpoint'ed (lineage cut) — and the number of labels that
+    * changed (0 = converged). Shared by the in-memory and the durable
+    * loop so both propagate identically.
+    */
+  private def ccStep(spark: SparkSession, sym: DataFrame, labels: DataFrame): (DataFrame, Long) = {
+    import spark.implicits._
+    val nbrMin = sym.join(labels, sym("src") === labels("node_id"))
+      .groupBy($"dst").agg(min($"component").as("nbr_component"))
+    val next = labels.join(nbrMin, labels("node_id") === nbrMin("dst"), "left")
+      .select(labels("node_id"),
+        least($"component", coalesce($"nbr_component", $"component")).as("new_component"),
+        $"component")
+    val stepped = next.select($"node_id", $"new_component".as("component"),
+      ($"new_component" =!= $"component").cast("long").as("changed")).localCheckpoint()
+    val changed = stepped.agg(sum($"changed")).as[Long].first()
+    (stepped.select($"node_id", $"component"), changed)
+  }
+
+  private def symmetrized(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint()
+  }
+
   def connectedComponentsLoop(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val sym = edges.select($"src", $"dst")
-      .union(edges.select($"dst".as("src"), $"src".as("dst")))
-      .localCheckpoint()
+    val sym = symmetrized(edges)
     var labels = nodes.select($"node_id", $"node_id".as("component")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < CC_MAX_ITERS) {
       lastIterations = iter + 1
-      val nbrMin = sym.join(labels, sym("src") === labels("node_id"))
-        .groupBy($"dst").agg(min($"component").as("nbr_component"))
-      val next = labels.join(nbrMin, labels("node_id") === nbrMin("dst"), "left")
-        .select(labels("node_id"),
-          least($"component", coalesce($"nbr_component", $"component")).as("new_component"),
-          $"component")
-      val stepped = next.select($"node_id", $"new_component".as("component"),
-        ($"new_component" =!= $"component").cast("long").as("changed")).localCheckpoint()
-      val changed = stepped.agg(sum($"changed")).as[Long].first()
-      labels = stepped.select($"node_id", $"component")
+      val (next, changed) = ccStep(spark, sym, labels)
+      labels = next
       converged = changed == 0
       iter += 1
     }
@@ -202,6 +227,127 @@ object KgPipeline {
     require(converged,
       s"connectedComponentsLoop did not converge within $CC_MAX_ITERS iterations")
     System.err.println(s"[kg] connectedComponentsLoop converged after $lastIterations iterations")
+    labels
+  }
+
+  /** Iteration the last durable-loop call resumed from (0 = fresh start;
+    * spec evidence that a resumed loop skipped iterations 1..k).
+    */
+  @volatile var lastResumedFrom: Int = 0
+
+  /** Durable-checkpoint variant of the CC loop (SURVEY.md §7.5; VERDICT
+    * r3 "what's missing" #2): every iteration PERSISTS its label frontier
+    * as parquet under `checkpointDir/iter-<k>` and then commits it with a
+    * temp-file→rename marker `iter-<k>.done.json` (the same commit-point
+    * protocol as GraphSink manifests). A killed linking phase resumes
+    * from the LAST COMMITTED frontier instead of iteration 0 — at
+    * 10^12-turn scale each iteration shuffles the full alias graph, so
+    * re-running 1..k-1 after a mid-loop executor loss is real money.
+    *
+    * The marker records an order-independent fingerprint of the input
+    * node set (count + bit_xor of node ids); resuming a checkpoint
+    * directory against a DIFFERENT node set fails loudly instead of
+    * silently propagating another graph's labels. The superseded
+    * previous frontier is pruned after each commit, so storage stays
+    * O(|nodes|), not O(iters·|nodes|).
+    *
+    * `failAfterIters` is a test hook: throw AFTER committing iteration k
+    * (crash injection for the resume spec; production callers leave it
+    * at MaxValue).
+    */
+  def connectedComponentsLoopDurable(
+      nodes: DataFrame,
+      edges: DataFrame,
+      checkpointDir: String,
+      failAfterIters: Int = Int.MaxValue): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val dirPath = new Path(checkpointDir)
+    val f = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // identity of the input node set — one tiny agg over the (small)
+    // alias-node table, NOT the corpus
+    val idRow = nodes.agg(count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(node_id))").as("fp")).first()
+    val nNodes = idRow.getLong(0)
+    val nodesFp = idRow.getLong(1)
+
+    case class Marker(iter: Int, changed: Long, converged: Boolean, n: Long, fp: Long)
+    def parseMarker(json: String): Option[Marker] = for {
+      it <- """"iter":(\d+)""".r.findFirstMatchIn(json)
+      ch <- """"changed":(-?\d+)""".r.findFirstMatchIn(json)
+      cv <- """"converged":(true|false)""".r.findFirstMatchIn(json)
+      n <- """"nodes":(\d+)""".r.findFirstMatchIn(json)
+      fp <- """"nodes_fp":(-?\d+)""".r.findFirstMatchIn(json)
+    } yield Marker(it.group(1).toInt, ch.group(1).toLong,
+      cv.group(1).toBoolean, n.group(1).toLong, fp.group(1).toLong)
+
+    val committed: Seq[Marker] =
+      if (!f.exists(dirPath)) Nil
+      else f.listStatus(dirPath).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("iter-") && p.getName.endsWith(".done.json"))
+        .flatMap { p =>
+          val in = f.open(p)
+          val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          parseMarker(json)
+        }
+    val last = committed.sortBy(_.iter).lastOption
+    for (m <- last) require(m.n == nNodes && m.fp == nodesFp,
+      s"CC checkpoint at $checkpointDir (iter ${m.iter}) was written for a different " +
+        s"node set (${m.n} nodes, fp ${m.fp}; current: $nNodes, fp $nodesFp) — " +
+        "clear the checkpoint directory or point the job at its original input")
+    lastResumedFrom = last.map(_.iter).getOrElse(0)
+
+    // a checkpoint that already converged: the frontier IS the answer
+    for (m <- last if m.converged) {
+      lastIterations = m.iter
+      System.err.println(s"[kg] durable CC: converged checkpoint found at iteration ${m.iter}; no work")
+      return spark.read.parquet(s"$checkpointDir/iter-${m.iter}")
+    }
+
+    val sym = symmetrized(edges)
+    var labels = last match {
+      case Some(m) =>
+        System.err.println(s"[kg] durable CC: resuming from committed iteration ${m.iter}")
+        spark.read.parquet(s"$checkpointDir/iter-${m.iter}").localCheckpoint()
+      case None =>
+        nodes.select($"node_id", $"node_id".as("component")).localCheckpoint()
+    }
+    var iter = lastResumedFrom
+    var converged = false
+    while (!converged && iter < CC_MAX_ITERS) {
+      val (next, changed) = ccStep(spark, sym, labels)
+      iter += 1
+      lastIterations = iter
+      converged = changed == 0
+      // persist-then-commit: parquet first, marker rename is the commit
+      // point; a crash between the two leaves an uncommitted directory
+      // that the overwrite below simply replaces on resume
+      next.write.mode(SaveMode.Overwrite).parquet(s"$checkpointDir/iter-$iter")
+      val json =
+        s"""{"iter":$iter,"changed":$changed,"converged":$converged,""" +
+          s""""nodes":$nNodes,"nodes_fp":$nodesFp}"""
+      val tmp = new Path(s"$checkpointDir/.iter-$iter.done.json.tmp")
+      val dst = new Path(s"$checkpointDir/iter-$iter.done.json")
+      val out = f.create(tmp, true)
+      out.write(json.getBytes(StandardCharsets.UTF_8))
+      out.close()
+      require(f.rename(tmp, dst), s"CC checkpoint commit rename failed: $tmp -> $dst")
+      // prune the superseded frontier AFTER the new commit (a crash in
+      // between leaves two markers; resume takes the max)
+      if (iter > 1) {
+        f.delete(new Path(s"$checkpointDir/iter-${iter - 1}"), true)
+        f.delete(new Path(s"$checkpointDir/iter-${iter - 1}.done.json"), false)
+      }
+      if (iter >= failAfterIters && !converged)
+        throw new RuntimeException(
+          s"[test hook] injected crash after committing CC iteration $iter")
+      labels = next
+    }
+    require(converged,
+      s"connectedComponentsLoopDurable did not converge within $CC_MAX_ITERS iterations")
+    System.err.println(s"[kg] durable CC converged after $lastIterations iterations " +
+      s"(resumed from $lastResumedFrom)")
     labels
   }
 
@@ -326,18 +472,20 @@ object KgPipeline {
       edges: DataFrame,
       blockOverflow: DataFrame)
 
-  def run(spark: SparkSession, turns: Dataset[Turn], model: Broadcast[NerModel]): KgOutput =
+  def run(spark: SparkSession, turns: Dataset[Turn], model: Broadcast[NerModel],
+      ccCheckpointDir: Option[String] = None): KgOutput =
     // cache the NLP stage output BEFORE any downstream action: the
     // adaptive CC/resolve decisions call count(), which would otherwise
     // re-run generation + tagging once per action
-    runTagged(spark, tagTurns(turns, model).cache())
+    runTagged(spark, tagTurns(turns, model).cache(), ccCheckpointDir)
 
-  def runTagged(spark: SparkSession, tagged: Dataset[TaggedRow]): KgOutput = {
+  def runTagged(spark: SparkSession, tagged: Dataset[TaggedRow],
+      ccCheckpointDir: Option[String] = None): KgOutput = {
     val mentions = mentionRows(tagged)
     val triples = tripleRows(tagged)
     val nodes = surfaceNodes(mentions).cache()
     val (edges0, overflow) = candidateEdges(nodes)
-    val labels = connectedComponents(nodes, edges0)
+    val labels = connectedComponents(nodes, edges0, ccCheckpointDir)
     val canonMap = canonicalize(nodes, labels)
     val entities = entitiesTable(nodes, labels)
     val resolved = resolveTriples(triples, canonMap)

@@ -82,7 +82,12 @@ object ScaleLinking {
     val edgesC = edges.cache()
     val nEdges = edgesC.count()
     val overflowBlocks = overflow.count()
-    val labels = KgPipeline.connectedComponentsLoop(nodes, edgesC)
+    // the DURABLE loop variant (fresh checkpoint dir per run): the bench
+    // exercises the per-iteration frontier persist + marker commit at
+    // 450k-node scale, not just the in-memory propagation
+    val ccDir = java.nio.file.Files.createTempDirectory("cc_ckpt_").toString
+    val labels = KgPipeline.connectedComponentsLoopDurable(nodes, edgesC, ccDir)
+    require(KgPipeline.lastResumedFrom == 0, "fresh checkpoint dir must not resume")
     val nComponents = labels.select(col("component")).distinct().count()
     val canonMap = KgPipeline.canonicalize(nodes, labels)
     val triples = syntheticTriples(spark, nTriples, nEntities)
@@ -91,6 +96,9 @@ object ScaleLinking {
     val r = Result(nNodes, nEdges, nComponents, KgPipeline.lastIterations,
       overflowBlocks, nTriples, withId)
     nodes.unpersist(); edgesC.unpersist()
+    // frontier parquet is bench scaffolding — labels were consumed above
+    // (localCheckpoint, not disk-backed), so the dir can go
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ccDir))
     r
   }
 }
