@@ -123,6 +123,7 @@ object Bench {
         s""""scale_nodes":${scale.nodes},"scale_components":${scale.components},""" +
         s""""scale_cc_iterations":${scale.ccIterations},"scale_overflow_blocks":${scale.overflowBlocks},""" +
         s""""scale_resolved_with_id":${scale.resolvedWithId},"scale_triples":${scale.triples},""" +
+        s""""scale_gaz_aliases":${scale.gazAliases},"scale_gaz_resolved":${scale.gazResolved},""" +
         s""""stream_docs":${stream.docs},"stream_pairs":${stream.pairs},""" +
         s""""stream_hot_pairs":${stream.hotPairs},"stream_state_peak":${stream.statePeak},""" +
         s""""stream_state_after_expiry":${stream.stateAfterExpiry}}"""

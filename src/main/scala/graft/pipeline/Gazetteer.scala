@@ -28,22 +28,15 @@ object Gazetteer {
     rows.toDF("alias", "alias_norm", "block_key", "entity_id", "entity_type", "popularity")
   }
 
-  /** Candidate generation (broadcast equi-join on block key) + residual
-    * fuzzy predicate + scored disambiguation.
-    *
-    * Scoring runs on DISTINCT (norm, tag) surfaces, not on the mention
-    * stream: the expensive similarity UDF touches a few hundred distinct
-    * surfaces instead of millions of mention rows, and the winning
-    * entity per surface is broadcast-joined back — same result, ~1000×
-    * less UDF work at corpus scale.
+  private val simUdf = udf((a: String, b: String) => Similarity.ngramSim(a, b))
+  private val keyUdf = udf((norm: String) => Linker.blockKeys(norm).headOption.orNull)
+
+  /** Candidate scoring (string similarity + type agreement + popularity
+    * prior) and the per-surface argmax — shared verbatim by the
+    * broadcast and the salted path so both produce identical winners.
     */
-  def disambiguate(mentions: DataFrame, gazetteer: DataFrame): DataFrame = {
-    val simUdf = udf((a: String, b: String) => Similarity.ngramSim(a, b))
-    val keyUdf = udf((norm: String) => Linker.blockKeys(norm).headOption.orNull)
-    val distinctSurfaces = mentions.select(col("norm"), col("tag")).distinct()
-    val cands = distinctSurfaces
-      .withColumn("block_key", keyUdf(col("norm")))
-      .join(broadcast(gazetteer), Seq("block_key"), "inner")
+  private def bestPerSurface(cands: DataFrame): DataFrame = {
+    val scored = cands
       .withColumn("sim", simUdf(col("norm"), col("alias_norm")))
       .where(col("sim") >= 0.3) // residual theta predicate after equi-join
       .withColumn("score",
@@ -57,10 +50,75 @@ object Gazetteer {
     // cross-engine oracle — DuckDB picked the other alias)
     val w = Window.partitionBy(col("norm"), col("tag"))
       .orderBy(col("score").desc, col("entity_id"), col("alias"))
-    val best = cands.withColumn("rk", row_number().over(w))
+    scored.withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
       .select(col("norm"), col("tag"), col("entity_id"), col("alias"), col("score"))
+  }
+
+  /** Gazetteers up to this many alias rows broadcast; above it the salted
+    * shuffle path engages (SURVEY.md D11: "broadcast when small, salted
+    * shuffle join when large" — real KBs run to 10^8 aliases).
+    */
+  val GAZ_BROADCAST_THRESHOLD = 200000L
+  val GAZ_SALT = 8
+
+  /** Adaptive dispatch on gazetteer size (one cheap metadata count for
+    * parquet-backed tables). Both paths proven equal in GazetteerSaltSpec.
+    */
+  def disambiguate(mentions: DataFrame, gazetteer: DataFrame): DataFrame =
+    if (gazetteer.count() <= GAZ_BROADCAST_THRESHOLD)
+      disambiguateBroadcast(mentions, gazetteer)
+    else disambiguateSalted(mentions, gazetteer)
+
+  /** Candidate generation (broadcast equi-join on block key) + residual
+    * fuzzy predicate + scored disambiguation.
+    *
+    * Scoring runs on DISTINCT (norm, tag) surfaces, not on the mention
+    * stream: the expensive similarity UDF touches a few hundred distinct
+    * surfaces instead of millions of mention rows, and the winning
+    * entity per surface is broadcast-joined back — same result, ~1000×
+    * less UDF work at corpus scale.
+    */
+  def disambiguateBroadcast(mentions: DataFrame, gazetteer: DataFrame): DataFrame = {
+    val distinctSurfaces = mentions.select(col("norm"), col("tag")).distinct()
+    val cands = distinctSurfaces
+      .withColumn("block_key", keyUdf(col("norm")))
+      .join(broadcast(gazetteer), Seq("block_key"), "inner")
+    val best = bestPerSurface(cands)
     mentions.join(broadcast(best), Seq("norm", "tag"), "inner")
+      .select(col("conv_id"), col("turn_idx"), col("start"), col("end"),
+        col("value"), col("tag"), col("entity_id"), col("alias"), col("score"))
+  }
+
+  /** Salted shuffle path for gazetteers too large to broadcast (VERDICT
+    * r3 "what's missing" #4). Skew discipline on both joins:
+    *
+    *  1. candidate join — real alias tables have HOT BLOCK KEYS (common
+    *     first tokens: "john …", "acme …"); a plain shuffle join lands
+    *     each hot block on one reducer. Each gazetteer row gets a
+    *     deterministic salt from its alias; the (small) distinct-surface
+    *     side is replicated across all salts, so a hot block's candidate
+    *     pairs spread over `salt` partitions while every (surface, alias)
+    *     pair still meets exactly once.
+    *  2. winner join back to the mention stream — hot SURFACES (20% of
+    *     mentions naming one popular entity) are the skew; the per-surface
+    *     winner set is replicated, the mention side hashes to a salt.
+    */
+  def disambiguateSalted(mentions: DataFrame, gazetteer: DataFrame,
+      salt: Int = GAZ_SALT): DataFrame = {
+    val saltValues = sequence(lit(0), lit(salt - 1))
+    val distinctSurfaces = mentions.select(col("norm"), col("tag")).distinct()
+      .withColumn("block_key", keyUdf(col("norm")))
+      .withColumn("salt", explode(saltValues))
+    val gazSalted = gazetteer
+      .withColumn("salt", pmod(xxhash64(col("alias")), lit(salt)).cast("int"))
+    val cands = distinctSurfaces.join(gazSalted, Seq("block_key", "salt"), "inner")
+    val best = bestPerSurface(cands)
+    val bestSalted = best.withColumn("m_salt", explode(saltValues))
+    mentions
+      .withColumn("m_salt",
+        pmod(xxhash64(col("conv_id"), col("turn_idx"), col("value")), lit(salt)).cast("int"))
+      .join(bestSalted, Seq("norm", "tag", "m_salt"), "inner")
       .select(col("conv_id"), col("turn_idx"), col("start"), col("end"),
         col("value"), col("tag"), col("entity_id"), col("alias"), col("score"))
   }

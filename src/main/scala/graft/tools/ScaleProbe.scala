@@ -20,6 +20,25 @@ object ScaleProbe {
       println(f"[probe] threads=$n $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
+    if (args.length > 1 && args(1) == "linking") {
+      // time the full ScaleLinking exercise (as Bench runs it) k times
+      val k = if (args.length > 2) args(2).toInt else 2
+      val spark = SparkSession.builder()
+        .master(s"local[$n]")
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .config("spark.sql.shuffle.partitions", n)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      for (round <- 1 to k) {
+        val t0 = System.nanoTime()
+        val r = graft.pipeline.ScaleLinking.run(spark)
+        println(f"[probe] linking round=$round wall=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          s"ccIters=${r.ccIterations} gazAliases=${r.gazAliases} gazResolved=${r.gazResolved}")
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "tagscale") {
       val nConvs = args(2).toLong
       val spark = SparkSession.builder()

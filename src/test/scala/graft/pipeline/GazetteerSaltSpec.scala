@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The salted large-gazetteer path must produce EXACTLY the broadcast
+  * path's rows (VERDICT r3 item 5): same candidate set (every (surface,
+  * alias) pair meets exactly once under salting), same scores, same
+  * total-order argmax winners, same mention coverage.
+  */
+class GazetteerSaltSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("gazsalt")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("salted disambiguation == broadcast disambiguation, row for row") {
+    val gaz = ScaleLinking.syntheticAliasTable(spark, nEntities = 50, hotAliases = 10)
+    val mentions = ScaleLinking.syntheticGazMentions(spark, 2000, nEntities = 50, hotAliases = 10)
+
+    val viaBroadcast = Gazetteer.disambiguateBroadcast(mentions, gaz)
+    val viaSalted = Gazetteer.disambiguateSalted(mentions, gaz, salt = 4)
+
+    assert(viaBroadcast.count() == 2000, "every mention has an exact-match alias")
+    val diff = viaBroadcast.exceptAll(viaSalted).count() +
+      viaSalted.exceptAll(viaBroadcast).count()
+    assert(diff == 0, s"$diff rows differ between broadcast and salted paths")
+  }
+
+  test("adaptive dispatch: small gazetteer broadcasts, large one salts") {
+    // both routes go through the public disambiguate; equality with the
+    // explicit-path results proves which branch ran is irrelevant to the
+    // answer — the threshold just picks the join strategy
+    val gaz = ScaleLinking.syntheticAliasTable(spark, nEntities = 30, hotAliases = 5)
+    val mentions = ScaleLinking.syntheticGazMentions(spark, 500, nEntities = 30, hotAliases = 5)
+    assert(gaz.count() <= Gazetteer.GAZ_BROADCAST_THRESHOLD)
+    val viaDispatch = Gazetteer.disambiguate(mentions, gaz)
+    val viaBroadcast = Gazetteer.disambiguateBroadcast(mentions, gaz)
+    assert(viaDispatch.exceptAll(viaBroadcast).count() == 0)
+    assert(viaBroadcast.exceptAll(viaDispatch).count() == 0)
+  }
+}
