@@ -63,27 +63,43 @@ object KgJob {
     spark.stop()
   }
 
-  /** The job body, callable from tests with an existing session. */
+  /** The job body, callable from tests with an existing session. Phase
+    * walls go to stderr — the observability needed to attribute the
+    * job's serial fraction (driver planning/codegen, model load, the CC
+    * dispatch count) separately from the scalable work when measuring
+    * N-vs-4N (BENCH/job_scaling.json).
+    */
   def run(spark: SparkSession, input: String, modelPath: String, output: String,
       buckets: Int = 16): JobMetrics = {
     import spark.implicits._
+    var t = System.nanoTime()
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(f"[kgjob] $name: ${(now - t) / 1e9}%.2f s")
+      t = now
+    }
     val turns = spark.read.parquet(input).as[Turn]
     val model = spark.sparkContext.broadcast(NerTraining.load(spark, modelPath))
+    phase("load_model_broadcast")
     // CC frontier checkpoints live under the job output dir: a killed
     // linking phase resumes the label-propagation loop from its last
     // committed iteration instead of iteration 0 (engaged on the
     // >CC_LOCAL_THRESHOLD loop path; see connectedComponentsLoopDurable)
     val out = KgPipeline.run(spark, turns, model, Some(s"$output/_cc_checkpoints"))
+    phase("link_cc_canonicalize") // incl. tagging pass: CC dispatch counts nodes
     // resolvedTriples feeds the triple write AND the edges aggregation —
     // cache it so graph materialization costs one pipeline execution
     out.resolvedTriples.cache()
     val wm = GraphSink.writeTriples(spark, out.resolvedTriples, output, buckets)
+    phase("write_triples_manifests")
     GraphSink.writeEntities(out.entities, output)
     GraphSink.writeEdges(out.edges, output)
+    phase("write_entities_edges")
     val nTurns = out.tagged.count()
     val nEntities = out.entities.count()
     val nEdges = out.edges.count()
     val nTriples = out.resolvedTriples.count()
+    phase("metrics_counts")
     out.resolvedTriples.unpersist()
     JobMetrics(nTurns, nTriples, nEntities, nEdges, wm.buckets, wm.skippedBuckets)
   }

@@ -22,7 +22,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     kgQueries ++ graft.relational.Catalog.queries
 
-  def oracleSql: Map[String, String] = kgOracleSql ++ graft.relational.Catalog.oracleSql
+  def oracleSql: Map[String, String] =
+    // the salted gazetteer path shares the broadcast path's oracle: the
+    // DuckDB recompute is join-strategy-independent, so one SQL pins both
+    // (GazetteerSaltSpec additionally proves the two Spark paths equal)
+    kgOracleSql +
+      ("kg_gazetteer_salted" -> kgOracleSql("kg_gazetteer_disambig")) ++
+      graft.relational.Catalog.oracleSql
 
   /** KG-pipeline oracles: the corpus is generated (not in sfDir), so
     * these SQLs read the Spark dumps themselves — `__OUTDIR__` is
@@ -573,6 +579,13 @@ object SparkEntry {
       graft.pipeline.ClassifyStage.accuracy(Kg.roleScored(s, d))),
     "kg_gazetteer_disambig" -> ((s, d) =>
       graft.pipeline.Gazetteer.disambiguate(
+          Kg.built(s, d).out.mentions, graft.pipeline.Gazetteer.aliasTable(s))
+        .orderBy(col("conv_id"), col("turn_idx"), col("start"), col("end"))),
+    // the SALTED join strategy forced on the same corpus inputs, pinned
+    // by the same DuckDB oracle as the broadcast path (r4: the two
+    // strategies must be indistinguishable in their output)
+    "kg_gazetteer_salted" -> ((s, d) =>
+      graft.pipeline.Gazetteer.disambiguateSalted(
           Kg.built(s, d).out.mentions, graft.pipeline.Gazetteer.aliasTable(s))
         .orderBy(col("conv_id"), col("turn_idx"), col("start"), col("end"))),
     // dumped inputs for the kg_gazetteer_disambig oracle: the UDF-derived
