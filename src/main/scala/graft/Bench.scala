@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
 
 /** Driver-run benchmark. Prints ONE COMPACT JSON line as the final stdout
   * line (driver contract: {"metric","value","unit","queries",...}) and
-  * writes the full per-query timing table to BENCH/queries_r3.json.
+  * writes the full per-query timing table to BENCH/queries_r4.json.
   *
   * Why the split: the driver captures a bounded TAIL of stdout; r1/r2
   * put all ~104 per-query timings on the contract line, which grew past

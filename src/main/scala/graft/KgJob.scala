@@ -86,12 +86,17 @@ object KgJob {
     // committed iteration instead of iteration 0 (engaged on the
     // >CC_LOCAL_THRESHOLD loop path; see connectedComponentsLoopDurable)
     val out = KgPipeline.run(spark, turns, model, Some(s"$output/_cc_checkpoints"))
-    phase("link_cc_canonicalize") // incl. tagging pass: CC dispatch counts nodes
+    // this wall covers what run() actually FORCES: the tagging pass
+    // (cache fill via the CC-dispatch node count) + blocking join + CC.
+    // canonicalize/resolveTriples stay lazy and execute inside the
+    // write wall below — the labels state the forced work, not the
+    // lazily-attributed stage names
+    phase("tag_block_cc")
     // resolvedTriples feeds the triple write AND the edges aggregation —
     // cache it so graph materialization costs one pipeline execution
     out.resolvedTriples.cache()
     val wm = GraphSink.writeTriples(spark, out.resolvedTriples, output, buckets)
-    phase("write_triples_manifests")
+    phase("resolve_write_triples_manifests")
     GraphSink.writeEntities(out.entities, output)
     GraphSink.writeEdges(out.edges, output)
     phase("write_entities_edges")

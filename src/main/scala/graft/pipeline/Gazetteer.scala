@@ -62,11 +62,16 @@ object Gazetteer {
   val GAZ_BROADCAST_THRESHOLD = 200000L
   val GAZ_SALT = 8
 
-  /** Adaptive dispatch on gazetteer size (one cheap metadata count for
-    * parquet-backed tables). Both paths proven equal in GazetteerSaltSpec.
+  /** Adaptive dispatch on gazetteer size. Callers that already know the
+    * alias count pass it via `gazRows` to skip the count job; otherwise
+    * one count runs per call (cheap: a metadata-only count for
+    * parquet-backed tables, a trivial job for driver-built ones — the
+    * dispatch input is a dimension table, never the mention stream).
+    * Both paths proven equal in GazetteerSaltSpec.
     */
-  def disambiguate(mentions: DataFrame, gazetteer: DataFrame): DataFrame =
-    if (gazetteer.count() <= GAZ_BROADCAST_THRESHOLD)
+  def disambiguate(mentions: DataFrame, gazetteer: DataFrame,
+      gazRows: Option[Long] = None): DataFrame =
+    if (gazRows.getOrElse(gazetteer.count()) <= GAZ_BROADCAST_THRESHOLD)
       disambiguateBroadcast(mentions, gazetteer)
     else disambiguateSalted(mentions, gazetteer)
 

@@ -270,6 +270,13 @@ object KgPipeline {
     val idRow = nodes.agg(count(lit(1)).as("n"),
       expr("bit_xor(xxhash64(node_id))").as("fp")).first()
     val nNodes = idRow.getLong(0)
+    // bit_xor over zero rows is NULL — an empty node set converges
+    // trivially rather than NPE-ing on the fingerprint read
+    if (nNodes == 0L) {
+      lastResumedFrom = 0
+      lastIterations = 0
+      return nodes.select($"node_id", $"node_id".as("component"))
+    }
     val nodesFp = idRow.getLong(1)
 
     case class Marker(iter: Int, changed: Long, converged: Boolean, n: Long, fp: Long)
@@ -296,6 +303,15 @@ object KgPipeline {
       s"CC checkpoint at $checkpointDir (iter ${m.iter}) was written for a different " +
         s"node set (${m.n} nodes, fp ${m.fp}; current: $nNodes, fp $nodesFp) — " +
         "clear the checkpoint directory or point the job at its original input")
+    // sweep frontiers superseded before a crash landed in the
+    // commit-then-prune window: without this, an iter-(k-1) surviving a
+    // crash between iter-k's marker rename and its prune is never
+    // deleted by later iterations (which only prune their immediate
+    // predecessor) — storage must stay O(|nodes|)
+    for (m <- committed; l <- last if m.iter < l.iter) {
+      f.delete(new Path(s"$checkpointDir/iter-${m.iter}"), true)
+      f.delete(new Path(s"$checkpointDir/iter-${m.iter}.done.json"), false)
+    }
     lastResumedFrom = last.map(_.iter).getOrElse(0)
 
     // a checkpoint that already converged: the frontier IS the answer

@@ -140,48 +140,53 @@ object ScaleLinking {
     * that both paths agree).
     */
   def run(spark: SparkSession, nEntities: Long = 150000L, nTriples: Long = 2000000L): Result = {
-    val nodes = syntheticNodes(spark, nEntities).cache()
-    val nNodes = nodes.count()
-    val (edges, overflow) = KgPipeline.candidateEdges(nodes)
-    val edgesC = edges.cache()
-    val nEdges = edgesC.count()
-    val overflowBlocks = overflow.count()
-    // the DURABLE loop variant (fresh checkpoint dir per run): the bench
-    // exercises the per-iteration frontier persist + marker commit at
-    // 450k-node scale, not just the in-memory propagation
+    // both temp dirs are bench scaffolding — cleaned in the finally so a
+    // failed round (a require firing, a Spark action throwing) cannot
+    // leak hundreds of MB into /tmp per bench run
     val ccDir = java.nio.file.Files.createTempDirectory("cc_ckpt_").toString
-    val labels = KgPipeline.connectedComponentsLoopDurable(nodes, edgesC, ccDir)
-    require(KgPipeline.lastResumedFrom == 0, "fresh checkpoint dir must not resume")
-    val nComponents = labels.select(col("component")).distinct().count()
-    val canonMap = KgPipeline.canonicalize(nodes, labels)
-    val triples = syntheticTriples(spark, nTriples, nEntities)
-    val resolved = KgPipeline.resolveTriplesSalted(triples, canonMap)
-    val withId = resolved.where(col("subj_id").isNotNull && col("obj_id").isNotNull).count()
-
-    // large-gazetteer exercise (VERDICT r3 item 5): a PARQUET-BACKED
-    // 452k-alias table (above GAZ_BROADCAST_THRESHOLD, with a planted
-    // 2000-row hot block key) disambiguating 1M skewed mentions — the
-    // adaptive dispatch must route to the SALTED path, and every mention
-    // carries an exact-match alias so full coverage is checkable
     val gazDir = java.nio.file.Files.createTempDirectory("gaz_scale_").toString
-    syntheticAliasTable(spark, nEntities).write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(gazDir)
-    val gaz = spark.read.parquet(gazDir)
-    val gazAliases = gaz.count()
-    require(gazAliases > Gazetteer.GAZ_BROADCAST_THRESHOLD,
-      s"gazetteer exercise must engage the salted path ($gazAliases aliases)")
-    val gazMentions = syntheticGazMentions(spark, 1000000L, nEntities)
-    val gazResolved = Gazetteer.disambiguate(gazMentions, gaz).count()
-    require(gazResolved == 1000000L,
-      s"salted disambiguation must cover every mention (got $gazResolved)")
+    val nodes = syntheticNodes(spark, nEntities).cache()
+    try {
+      val nNodes = nodes.count()
+      val (edges, overflow) = KgPipeline.candidateEdges(nodes)
+      val edgesC = edges.cache()
+      try {
+        val nEdges = edgesC.count()
+        val overflowBlocks = overflow.count()
+        // the DURABLE loop variant (fresh checkpoint dir per run): the
+        // bench exercises the per-iteration frontier persist + marker
+        // commit at 450k-node scale, not just the in-memory propagation
+        val labels = KgPipeline.connectedComponentsLoopDurable(nodes, edgesC, ccDir)
+        require(KgPipeline.lastResumedFrom == 0, "fresh checkpoint dir must not resume")
+        val nComponents = labels.select(col("component")).distinct().count()
+        val canonMap = KgPipeline.canonicalize(nodes, labels)
+        val triples = syntheticTriples(spark, nTriples, nEntities)
+        val resolved = KgPipeline.resolveTriplesSalted(triples, canonMap)
+        val withId = resolved.where(col("subj_id").isNotNull && col("obj_id").isNotNull).count()
 
-    val r = Result(nNodes, nEdges, nComponents, KgPipeline.lastIterations,
-      overflowBlocks, nTriples, withId, gazAliases, gazResolved)
-    nodes.unpersist(); edgesC.unpersist()
-    // frontier parquet is bench scaffolding — labels were consumed above
-    // (localCheckpoint, not disk-backed), so the dir can go
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ccDir))
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(gazDir))
-    r
+        // large-gazetteer exercise (VERDICT r3 item 5): a PARQUET-BACKED
+        // 452k-alias table (above GAZ_BROADCAST_THRESHOLD, with a planted
+        // 2000-row hot block key) disambiguating 1M skewed mentions — the
+        // adaptive dispatch must route to the SALTED path, and every
+        // mention carries an exact-match alias so coverage is checkable
+        syntheticAliasTable(spark, nEntities).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(gazDir)
+        val gaz = spark.read.parquet(gazDir)
+        val gazAliases = gaz.count()
+        require(gazAliases > Gazetteer.GAZ_BROADCAST_THRESHOLD,
+          s"gazetteer exercise must engage the salted path ($gazAliases aliases)")
+        val gazMentions = syntheticGazMentions(spark, 1000000L, nEntities)
+        val gazResolved = Gazetteer.disambiguate(gazMentions, gaz, Some(gazAliases)).count()
+        require(gazResolved == 1000000L,
+          s"salted disambiguation must cover every mention (got $gazResolved)")
+
+        Result(nNodes, nEdges, nComponents, KgPipeline.lastIterations,
+          overflowBlocks, nTriples, withId, gazAliases, gazResolved)
+      } finally edgesC.unpersist()
+    } finally {
+      nodes.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ccDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(gazDir))
+    }
   }
 }

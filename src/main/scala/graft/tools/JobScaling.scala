@@ -84,9 +84,10 @@ object JobScaling {
           s""""turns":${m.turns},"triples":${m.triples},"buckets":${m.bucketsWritten},""" +
           s""""protocol":"${protocol(m.turns)}"}"""
       Files.createDirectories(Paths.get("BENCH"))
-      val runsFile = Paths.get("BENCH/job_scaling_runs.jsonl")
-      Files.writeString(runsFile,
-        (if (Files.exists(runsFile)) Files.readString(runsFile) else "") + line + "\n")
+      // true O(1) append — a read+truncate+rewrite would destroy the
+      // accumulated run history on a crash mid-write
+      Files.writeString(Paths.get("BENCH/job_scaling_runs.jsonl"), line + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
       println(line)
     } finally spark.stop()
   }
@@ -119,16 +120,20 @@ object JobScaling {
             s""""runs_n":$kLo,"runs_n4":$kHi}"""
         }
       val walls = byCores.toSeq.sortBy(_._1).map { case (c, (w, k)) =>
-        s""""local$c":{"wall_min":$w,"runs":$k}""" }.mkString(",")
+        s""""local$c":{"wall_min":$w,"runs":$k}""" }
       // fixed-vs-scalable decomposition from the (2, 8) mins:
       // T(p) = S + W/p  =>  W = (T2 - T8)/(1/2 - 1/8), S = T2 - W/2
       val model = for { (w2, _) <- byCores.get(2); (w8, _) <- byCores.get(8) } yield {
         val work = (w2 - w8) / 0.375
         val fixed = w2 - work / 2
-        s""""fixed_cost_sec":${pct(fixed)},"parallel_work_core_sec":${pct(work)},"""
+        s""""fixed_cost_sec":${pct(fixed)},"parallel_work_core_sec":${pct(work)}"""
       }
-      s"""{"turns":$turns,$walls,${Seq(pair(2, 8), pair(8, 32)).flatten.mkString(",")},""" +
-        s"""${model.getOrElse("")}"protocol":"${protocol(turns)}"}"""
+      // assemble from only the fields that exist — a corpus measured at
+      // other core pairs must not produce dangling commas (invalid JSON)
+      val fields = Seq(s""""turns":$turns""") ++ walls ++
+        Seq(pair(2, 8), pair(8, 32), model).flatten :+
+        s""""protocol":"${protocol(turns)}""""
+      fields.mkString("{", ",", "}")
     }
     val json =
       s"""{"metric":"job_scaling_efficiency","unit":"ratio",""" +
