@@ -29,6 +29,20 @@ object PlanCheck {
     b.nodes.explain("formatted")
     println("\n=============== kg resolved triples (salted join) ===============")
     b.resolvedTriples.explain()
+    println("\n=============== gazetteer salted disambiguation ===============")
+    // The salted path does not FORCE a join strategy — it removes the
+    // broadcast hint and adds the salt keys. At tiny sizes the planner
+    // still broadcasts (harmless: the salts just ride along); past the
+    // autoBroadcastJoinThreshold the join shuffles on (block_key, salt)
+    // / (norm, tag, m_salt), which is where the salting spreads hot
+    // keys. Both sizes are planned here (planning only — no execution).
+    val gaz = graft.pipeline.ScaleLinking.syntheticAliasTable(spark, 200, 50)
+    val men = graft.pipeline.ScaleLinking.syntheticGazMentions(spark, 1000, 200, 50)
+    graft.pipeline.Gazetteer.disambiguateSalted(men, gaz).explain("formatted")
+    println("\n===== gazetteer salted disambiguation AT BENCH SCALE (planned) =====")
+    val gazXl = graft.pipeline.ScaleLinking.syntheticAliasTable(spark, 150000)
+    val menXl = graft.pipeline.ScaleLinking.syntheticGazMentions(spark, 1000000, 150000)
+    graft.pipeline.Gazetteer.disambiguateSalted(menXl, gazXl).explain()
     spark.stop()
   }
 
