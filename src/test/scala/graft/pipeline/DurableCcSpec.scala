@@ -74,6 +74,27 @@ class DurableCcSpec extends AnyFunSuite {
     assert(mismatches(first, again) == 0)
   }
 
+  test("resume sweeps a frontier stranded by a crash in the commit-then-prune window") {
+    val (nodes, edges) = chainGraph()
+    val dir = Files.createTempDirectory("cc_spec_").toString
+    intercept[RuntimeException] {
+      KgPipeline.connectedComponentsLoopDurable(nodes, edges, dir, failAfterIters = 3)
+    }
+    // recreate the crash-in-window state: iter-2 marker + dir survive
+    // alongside the committed iter-3 (the crash landed between iter-3's
+    // marker rename and iter-2's prune)
+    val iter3 = java.nio.file.Path.of(s"$dir/iter-3.done.json")
+    val stale = Files.readString(iter3).replace("\"iter\":3", "\"iter\":2")
+    Files.writeString(java.nio.file.Path.of(s"$dir/iter-2.done.json"), stale)
+    Files.createDirectories(java.nio.file.Path.of(s"$dir/iter-2"))
+
+    val resumed = KgPipeline.connectedComponentsLoopDurable(nodes, edges, dir)
+    assert(KgPipeline.lastResumedFrom == 3, "must resume from the max committed iteration")
+    assert(!new java.io.File(s"$dir/iter-2.done.json").exists(), "stale marker must be swept")
+    assert(!new java.io.File(s"$dir/iter-2").exists(), "stale frontier dir must be swept")
+    assert(mismatches(resumed, KgPipeline.connectedComponentsLoop(nodes, edges)) == 0)
+  }
+
   test("resuming a checkpoint against a different node set fails loudly") {
     val (nodes, edges) = chainGraph()
     val dir = Files.createTempDirectory("cc_spec_").toString
