@@ -335,6 +335,40 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming CANONICAL resolution + exactly-once sink — the streaming
+    * completion of the KG job (r4): triples exploded from the tagged
+    * stream are resolved against a STATIC canonical map via
+    * stream-static broadcast joins. The resolution is literally
+    * [[graft.pipeline.KgPipeline.resolveTriplesBroadcast]] — the batch
+    * function applied to the streaming plan (its joins/projections are
+    * stateless, so they compose in append mode) — stream == batch
+    * semantics hold by construction rather than by copy. Batches commit
+    * through the same manifest protocol as [[sinkTriples]].
+    *
+    * Deploy shape: the canonical map is the entity table of the last
+    * batch linking run — batch linking refreshes the map, the stream
+    * resolves arriving turns against the latest snapshot (entity
+    * discovery/merging stays a batch responsibility; a surface unseen
+    * by the last linking run resolves to null ids and its canonical
+    * falls back to its own normalized form, exactly as in batch).
+    */
+  def sinkResolvedTriples(tagged: Dataset[TaggedRow], canonMap: DataFrame,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    val triples = tagged
+      .select($"conv_id", $"turn_idx", $"ts", explode($"triples").as("t"))
+      .select($"conv_id", $"turn_idx", $"ts",
+        $"t.subj", $"t.pred", $"t.obj", $"t.subj_tag", $"t.obj_tag")
+    val resolved = graft.pipeline.KgPipeline.resolveTriplesBroadcast(triples, canonMap)
+    resolved.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        writeBatch(batch, outDir, batchId)
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .start()
+  }
+
   /** One batch commit (factored out so the idempotence spec can replay
     * a batchId directly): skip if manifested, else overwrite the batch
     * directory and rename-commit the manifest.

@@ -252,6 +252,37 @@ class StreamingSpec extends AnyFunSuite {
       "replaying a manifested batch must not change the table")
   }
 
+  test("streaming canonical resolution == batch resolve (stream-static join)") {
+    import spark.implicits._
+    val labeled = Transcripts.generateLabeled(spark, N)
+    val model = NerTraining.trainAndBroadcast(spark, Transcripts.trainSplit(labeled))
+    val inDir = java.nio.file.Files.createTempDirectory("stream_res_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("stream_res_out").toString
+    val all = Transcripts.generate(spark, N).cache()
+    all.where($"conv_id" < "c0000010").write.parquet(s"$inDir/drop1")
+    all.where($"conv_id" >= "c0000010").write.parquet(s"$inDir/drop2")
+
+    // the batch linking run supplies BOTH the canonical map (the static
+    // side of the stream join) and the parity reference
+    val batchOut = graft.pipeline.KgPipeline.run(spark, all, model)
+    val canonMap = graft.pipeline.KgPipeline.canonicalize(batchOut.nodes, batchOut.components)
+
+    val stream = StreamingIngest.tagStream(
+      StreamingIngest.readTurns(spark, s"$inDir/drop*").repartition(2), model)
+    val q = StreamingIngest.sinkResolvedTriples(stream, canonMap, outDir)
+    q.processAllAvailable(); q.stop()
+
+    val cols = Seq("conv_id", "turn_idx", "subj", "pred", "obj",
+      "subj_id", "obj_id", "subj_canonical", "obj_canonical").map(org.apache.spark.sql.functions.col)
+    val got = spark.read.parquet(s"$outDir/triples").select(cols: _*)
+    val want = batchOut.resolvedTriples.select(cols: _*)
+    assert(got.count() == want.count(), "row count mismatch vs batch resolve")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "streaming canonical resolution diverged from the batch path")
+    // resolution actually engaged: entity ids present on resolvable rows
+    assert(got.where($"subj_id".isNotNull).count() > 0)
+  }
+
   test("expiring conversation state emits one final update per conv and drops state") {
     import spark.implicits._
     val labeled = Transcripts.generateLabeled(spark, N)
