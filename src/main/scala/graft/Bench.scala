@@ -127,6 +127,14 @@ object Bench {
         s""""stream_docs":${stream.docs},"stream_pairs":${stream.pairs},""" +
         s""""stream_hot_pairs":${stream.hotPairs},"stream_state_peak":${stream.statePeak},""" +
         s""""stream_state_after_expiry":${stream.stateAfterExpiry}}"""
+    // the driver parses a bounded (~2 KB) stdout TAIL; two copies of the
+    // line plus sbt's trailing "[success]" must fit, so the line itself
+    // must stay well under 1 KB — fail LOUDLY here rather than ship a
+    // bench whose artifact records parsed:null (the defect that survived
+    // rounds 1–3; currently ~1.1 KB of budget headroom at ~900 chars)
+    require(contractLine.length < 1500,
+      s"contract line grew to ${contractLine.length} chars — trim fields or move them " +
+        "to BENCH/queries_r4.json before the driver's tail capture truncates it")
     // Printed twice: once here (insurance against anything after us
     // truncating the tail) and once AFTER spark.stop() so Spark's
     // shutdown WARN chatter cannot land between the contract line and

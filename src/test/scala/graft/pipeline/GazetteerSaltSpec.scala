@@ -31,6 +31,17 @@ class GazetteerSaltSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff rows differ between broadcast and salted paths")
   }
 
+  test("parity holds for every salt width (1, 3, 16) — no off-by-one in salt ranges") {
+    val gaz = ScaleLinking.syntheticAliasTable(spark, nEntities = 40, hotAliases = 8)
+    val mentions = ScaleLinking.syntheticGazMentions(spark, 800, nEntities = 40, hotAliases = 8)
+    val reference = Gazetteer.disambiguateBroadcast(mentions, gaz)
+    for (salt <- Seq(1, 3, 16)) {
+      val salted = Gazetteer.disambiguateSalted(mentions, gaz, salt = salt)
+      val diff = reference.exceptAll(salted).count() + salted.exceptAll(reference).count()
+      assert(diff == 0, s"salt=$salt: $diff rows differ from the broadcast path")
+    }
+  }
+
   test("adaptive dispatch: small gazetteer broadcasts, large one salts") {
     // both routes go through the public disambiguate; equality with the
     // explicit-path results proves which branch ran is irrelevant to the
