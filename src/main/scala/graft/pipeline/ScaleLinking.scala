@@ -145,6 +145,12 @@ object ScaleLinking {
     // leak hundreds of MB into /tmp per bench run
     val ccDir = java.nio.file.Files.createTempDirectory("cc_ckpt_").toString
     val gazDir = java.nio.file.Files.createTempDirectory("gaz_scale_").toString
+    var t = System.nanoTime()
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(f"[scale-linking] $name: ${(now - t) / 1e9}%.2f s")
+      t = now
+    }
     val nodes = syntheticNodes(spark, nEntities).cache()
     try {
       val nNodes = nodes.count()
@@ -153,16 +159,19 @@ object ScaleLinking {
       try {
         val nEdges = edgesC.count()
         val overflowBlocks = overflow.count()
+        phase("nodes_blocking_edges")
         // the DURABLE loop variant (fresh checkpoint dir per run): the
         // bench exercises the per-iteration frontier persist + marker
         // commit at 450k-node scale, not just the in-memory propagation
         val labels = KgPipeline.connectedComponentsLoopDurable(nodes, edgesC, ccDir)
         require(KgPipeline.lastResumedFrom == 0, "fresh checkpoint dir must not resume")
         val nComponents = labels.select(col("component")).distinct().count()
+        phase("durable_cc")
         val canonMap = KgPipeline.canonicalize(nodes, labels)
         val triples = syntheticTriples(spark, nTriples, nEntities)
         val resolved = KgPipeline.resolveTriplesSalted(triples, canonMap)
         val withId = resolved.where(col("subj_id").isNotNull && col("obj_id").isNotNull).count()
+        phase("salted_resolve_2m")
 
         // large-gazetteer exercise (VERDICT r3 item 5): a PARQUET-BACKED
         // 452k-alias table (above GAZ_BROADCAST_THRESHOLD, with a planted
@@ -179,6 +188,7 @@ object ScaleLinking {
         val gazResolved = Gazetteer.disambiguate(gazMentions, gaz, Some(gazAliases)).count()
         require(gazResolved == 1000000L,
           s"salted disambiguation must cover every mention (got $gazResolved)")
+        phase("salted_gazetteer_1m")
 
         Result(nNodes, nEdges, nComponents, KgPipeline.lastIterations,
           overflowBlocks, nTriples, withId, gazAliases, gazResolved)
