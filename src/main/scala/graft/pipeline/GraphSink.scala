@@ -56,12 +56,21 @@ object GraphSink {
     * observed on the actual write pass (`Observation` — executor→driver
     * metric channel, SURVEY.md §3.3 step 10).
     */
+  /** `dayPartition = true` adds `day(ts)` as a SECOND partition level
+    * under the conv bucket (SURVEY.md §7.5: `bucket(conv_id)[, day(ts)]`
+    * — the layout time-range scans prune on). Purely a layout change:
+    * manifests, fingerprints and resume stay per-BUCKET (a bucket's
+    * day-split is a deterministic function of its rows, so dynamic
+    * overwrite of a re-processed bucket replaces exactly its (bucket,
+    * day) directories and the commit protocol is unchanged).
+    */
   def writeTriples(
       spark: SparkSession,
       resolvedTriples: DataFrame,
       outDir: String,
       nBuckets: Int = 16,
-      configHash: String = "v1"): WriteMetrics = {
+      configHash: String = "v1",
+      dayPartition: Boolean = false): WriteMetrics = {
     val done = doneBuckets(spark, outDir)
     // a resume is only meaningful under the SAME bucketing/config: with a
     // different nBuckets the done-bucket ids index a different partition
@@ -92,10 +101,14 @@ object GraphSink {
     // overwrite, re-processing a pending bucket REPLACES its partition
     // directory, so the write is idempotent and the manifest rename stays
     // the single commit point.
-    observed.repartition(col("conv_bucket")).write
+    val (toWrite, partCols) =
+      if (dayPartition)
+        (observed.withColumn("day", to_date(col("ts"))), Seq("conv_bucket", "day"))
+      else (observed, Seq("conv_bucket"))
+    toWrite.repartition(col("conv_bucket")).write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("conv_bucket")
+      .partitionBy(partCols: _*)
       .parquet(s"$outDir/triples")
 
     // an all-buckets-done resume writes zero partitions: the observed

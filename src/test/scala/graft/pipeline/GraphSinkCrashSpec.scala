@@ -61,6 +61,33 @@ class GraphSinkCrashSpec extends AnyFunSuite {
     assert(m == clean(victimBucket))
   }
 
+  test("day(ts) secondary partition: layout gains day dirs, content and resume unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_day").toString
+    // spread ts across 3 days so the day split is non-trivial
+    val triples = sampleTriples()
+      .withColumn("ts",
+        expr("timestamp_millis(1700000000000 + CAST(turn_idx AS BIGINT) * 43200000)"))
+    val m1 = GraphSink.writeTriples(spark, triples, dir, 8, dayPartition = true)
+    assert(m1.buckets == 8 && m1.rows == 500)
+
+    // physical layout: day=* under each conv_bucket dir
+    val bucketDirs = new java.io.File(s"$dir/triples").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("conv_bucket="))
+    assert(bucketDirs.length == 8)
+    assert(bucketDirs.forall(_.listFiles().exists(_.getName.startsWith("day="))),
+      "every bucket must be day-partitioned")
+
+    // content round-trips; the day partition column matches to_date(ts)
+    val back = spark.read.parquet(s"$dir/triples")
+    assert(back.count() == 500)
+    assert(back.where(col("day") =!= to_date(col("ts"))).count() == 0)
+
+    // resume semantics unchanged: manifests are per bucket, all skipped
+    val m2 = GraphSink.writeTriples(spark, triples, dir, 8, dayPartition = true)
+    assert(m2.buckets == 0 && m2.skippedBuckets == 8 && m2.rows == 0)
+    assert(spark.read.parquet(s"$dir/triples").count() == 500)
+  }
+
   test("clean partial-run resume still skips committed buckets") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_partial").toString
     val triples = sampleTriples()
