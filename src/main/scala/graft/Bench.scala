@@ -127,12 +127,14 @@ object Bench {
         s""""stream_docs":${stream.docs},"stream_pairs":${stream.pairs},""" +
         s""""stream_hot_pairs":${stream.hotPairs},"stream_state_peak":${stream.statePeak},""" +
         s""""stream_state_after_expiry":${stream.stateAfterExpiry}}"""
-    // the driver parses a bounded (~2 KB) stdout TAIL; two copies of the
-    // line plus sbt's trailing "[success]" must fit, so the line itself
-    // must stay well under 1 KB — fail LOUDLY here rather than ship a
-    // bench whose artifact records parsed:null (the defect that survived
-    // rounds 1–3; currently ~1.1 KB of budget headroom at ~900 chars)
-    require(contractLine.length < 1500,
+    // the driver parses a bounded (~2 KB) stdout TAIL. The binding
+    // invariant is that the LAST copy of the line (printed after
+    // spark.stop(), followed only by sbt's ~70-char "[success]" trailer)
+    // sits fully inside that tail; the first copy is best-effort
+    // insurance and may be front-clipped. The line is ~1.1 KB today —
+    // fail LOUDLY at 1300 rather than ship a bench whose artifact
+    // records parsed:null (the defect that survived rounds 1–3)
+    require(contractLine.length < 1300,
       s"contract line grew to ${contractLine.length} chars — trim fields or move them " +
         "to BENCH/queries_r4.json before the driver's tail capture truncates it")
     // Printed twice: once here (insurance against anything after us

@@ -72,11 +72,13 @@ object GraphSink {
       configHash: String = "v1",
       dayPartition: Boolean = false): WriteMetrics = {
     val done = doneBuckets(spark, outDir)
-    // a resume is only meaningful under the SAME bucketing/config: with a
-    // different nBuckets the done-bucket ids index a different partition
-    // function and the pending filter would silently drop or duplicate
-    // rows across the two layouts — refuse loudly instead
-    if (done.nonEmpty) validateResumeConfig(spark, outDir, nBuckets, configHash)
+    // a resume is only meaningful under the SAME bucketing/config/layout:
+    // with a different nBuckets the done-bucket ids index a different
+    // partition function, and with a different dayPartition the pending
+    // buckets land at a different directory depth than the committed
+    // ones (readers then fail on conflicting directory structures) —
+    // refuse loudly instead
+    if (done.nonEmpty) validateResumeConfig(spark, outDir, nBuckets, configHash, dayPartition)
     val all = bucketed(resolvedTriples, nBuckets)
     val pending = if (done.isEmpty) all else all.where(!col("conv_bucket").isin(done.toSeq: _*))
 
@@ -101,9 +103,17 @@ object GraphSink {
     // overwrite, re-processing a pending bucket REPLACES its partition
     // directory, so the write is idempotent and the manifest rename stays
     // the single commit point.
+    // day derived by EPOCH ARITHMETIC (UTC day), not to_date(ts):
+    // to_date applies spark.sql.session.timeZone, so a resume under a
+    // different session TZ would re-split near-midnight rows into
+    // different day dirs — dynamic overwrite would then leave the stale
+    // day dir alive inside a "replaced" bucket and the manifest would
+    // bless duplicated rows. Epoch math is TZ-independent, keeping the
+    // day split a deterministic function of the rows.
+    val utcDay = expr(
+      "date_add(DATE'1970-01-01', CAST(FLOOR(unix_millis(ts) / 86400000) AS INT))")
     val (toWrite, partCols) =
-      if (dayPartition)
-        (observed.withColumn("day", to_date(col("ts"))), Seq("conv_bucket", "day"))
+      if (dayPartition) (observed.withColumn("day", utcDay), Seq("conv_bucket", "day"))
       else (observed, Seq("conv_bucket"))
     toWrite.repartition(col("conv_bucket")).write
       .mode(SaveMode.Overwrite)
@@ -152,7 +162,7 @@ object GraphSink {
       val bucket = r.getInt(0)
       val json =
         s"""{"bucket":$bucket,"rows":${r.getLong(1)},"fingerprint":${r.getLong(2)},""" +
-          s""""config":"$configHash","n_buckets":$nBuckets}"""
+          s""""config":"$configHash","n_buckets":$nBuckets,"day_partition":$dayPartition}"""
       val tmp = new Path(s"$outDir/_manifests/.bucket-$bucket.json.tmp")
       val dst = new Path(s"$outDir/_manifests/bucket-$bucket.json")
       val out = f.create(tmp, true)
@@ -172,7 +182,7 @@ object GraphSink {
     * fields existed are accepted (no recorded value to contradict).
     */
   private def validateResumeConfig(spark: SparkSession, outDir: String,
-      nBuckets: Int, configHash: String): Unit = {
+      nBuckets: Int, configHash: String, dayPartition: Boolean = false): Unit = {
     val f = fs(spark, outDir)
     val dir = new Path(s"$outDir/_manifests")
     val sample = f.listStatus(dir).toSeq
@@ -191,6 +201,13 @@ object GraphSink {
           s"resume with config=$configHash against a table committed with " +
             s"config=${m.group(1)} ($p): clear the output or keep the config stable")
       }
+      // manifests written before the field existed were all flat layout
+      val committedDay = """"day_partition":(true|false)""".r.findFirstMatchIn(json)
+        .exists(_.group(1).toBoolean)
+      require(committedDay == dayPartition,
+        s"resume with dayPartition=$dayPartition against a table committed with " +
+          s"day_partition=$committedDay ($p): the partition depths are incompatible — " +
+          "keep the layout or use a fresh output directory")
     }
   }
 

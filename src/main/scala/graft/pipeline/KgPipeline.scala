@@ -270,14 +270,11 @@ object KgPipeline {
     val idRow = nodes.agg(count(lit(1)).as("n"),
       expr("bit_xor(xxhash64(node_id))").as("fp")).first()
     val nNodes = idRow.getLong(0)
-    // bit_xor over zero rows is NULL — an empty node set converges
-    // trivially rather than NPE-ing on the fingerprint read
-    if (nNodes == 0L) {
-      lastResumedFrom = 0
-      lastIterations = 0
-      return nodes.select($"node_id", $"node_id".as("component"))
-    }
-    val nodesFp = idRow.getLong(1)
+    // bit_xor over zero rows is NULL; 0L stands in so the fingerprint
+    // guard below still runs — an empty node set against a checkpoint
+    // committed for a real graph must fail LOUDLY (wrong input path),
+    // not return silent empty output
+    val nodesFp = if (idRow.isNullAt(1)) 0L else idRow.getLong(1)
 
     case class Marker(iter: Int, changed: Long, converged: Boolean, n: Long, fp: Long)
     def parseMarker(json: String): Option[Marker] = for {
@@ -313,6 +310,13 @@ object KgPipeline {
       f.delete(new Path(s"$checkpointDir/iter-${m.iter}.done.json"), false)
     }
     lastResumedFrom = last.map(_.iter).getOrElse(0)
+
+    // empty node set (fingerprint guard above already vetted it against
+    // any committed checkpoint): converges trivially, nothing to persist
+    if (nNodes == 0L) {
+      lastIterations = 0
+      return nodes.select($"node_id", $"node_id".as("component"))
+    }
 
     // a checkpoint that already converged: the frontier IS the answer
     for (m <- last if m.converged) {

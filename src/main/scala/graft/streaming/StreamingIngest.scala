@@ -321,12 +321,10 @@ object StreamingIngest {
     * per-batch manifests are the stream's lineage/metrics channel.
     */
   def sinkTriples(tagged: Dataset[TaggedRow], outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val spark = tagged.sparkSession
-    import spark.implicits._
-    tagged
-      .select($"conv_id", $"turn_idx", $"ts", explode($"triples").as("t"))
-      .select($"conv_id", $"turn_idx", $"ts",
-        $"t.subj", $"t.pred", $"t.obj", $"t.subj_tag", $"t.obj_tag")
+    // the explode/projection is KgPipeline.tripleRows — ONE definition
+    // shared with the batch path (and with sinkResolvedTriples below),
+    // so a schema change there cannot silently diverge the stream sink
+    graft.pipeline.KgPipeline.tripleRows(tagged)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         writeBatch(batch, outDir, batchId)
@@ -354,18 +352,19 @@ object StreamingIngest {
     */
   def sinkResolvedTriples(tagged: Dataset[TaggedRow], canonMap: DataFrame,
       outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val spark = tagged.sparkSession
-    import spark.implicits._
-    val triples = tagged
-      .select($"conv_id", $"turn_idx", $"ts", explode($"triples").as("t"))
-      .select($"conv_id", $"turn_idx", $"ts",
-        $"t.subj", $"t.pred", $"t.obj", $"t.subj_tag", $"t.obj_tag")
+    val triples = graft.pipeline.KgPipeline.tripleRows(tagged)
     val resolved = graft.pipeline.KgPipeline.resolveTriplesBroadcast(triples, canonMap)
+    // own table dir, manifest prefix, and checkpoint: sharing an outDir
+    // with sinkTriples must not collide (a shared checkpoint would
+    // resume the OTHER query's offsets, and a shared stream-batch-<id>
+    // manifest namespace would silently skip this sink's batches as
+    // "already committed")
     resolved.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        writeBatch(batch, outDir, batchId)
+        writeBatch(batch, outDir, batchId,
+          table = "resolved_triples", manifestPrefix = "stream-resolved-batch")
       }
-      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .option("checkpointLocation", s"$outDir/_checkpoint_resolved")
       .start()
   }
 
@@ -373,25 +372,28 @@ object StreamingIngest {
     * a batchId directly): skip if manifested, else overwrite the batch
     * directory and rename-commit the manifest.
     */
-  def writeBatch(batch: org.apache.spark.sql.DataFrame, outDir: String, batchId: Long): Unit = {
+  def writeBatch(batch: org.apache.spark.sql.DataFrame, outDir: String, batchId: Long,
+      table: String = "triples", manifestPrefix: String = "stream-batch"): Unit = {
     val spark = batch.sparkSession
     // resolve the filesystem FROM outDir (not the default FS): on an
     // hdfs://... or s3a://... sink the default-FS handle would check
     // manifest existence on the wrong filesystem (ADVICE r2)
     val hfs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = new org.apache.hadoop.fs.Path(s"$outDir/_manifests/stream-batch-$batchId.json")
+    val manifest = new org.apache.hadoop.fs.Path(
+      s"$outDir/_manifests/$manifestPrefix-$batchId.json")
     if (hfs.exists(manifest)) return // already committed — replay is a no-op
     val stats = batch
       .agg(count(lit(1)).as("rows"),
         expr("bit_xor(xxhash64(conv_id, turn_idx, subj, pred, obj))").as("fp"))
       .collect()(0)
     batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$outDir/triples/batch=$batchId")
+      .parquet(s"$outDir/$table/batch=$batchId")
     val json = s"""{"batch":$batchId,"rows":${stats.getLong(0)},"fingerprint":${
       if (stats.isNullAt(1)) 0L else stats.getLong(1)}}"""
     hfs.mkdirs(manifest.getParent)
-    val tmp = new org.apache.hadoop.fs.Path(s"$outDir/_manifests/.stream-batch-$batchId.json.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$outDir/_manifests/.$manifestPrefix-$batchId.json.tmp")
     val out = hfs.create(tmp, true)
     out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()

@@ -86,6 +86,13 @@ class GraphSinkCrashSpec extends AnyFunSuite {
     val m2 = GraphSink.writeTriples(spark, triples, dir, 8, dayPartition = true)
     assert(m2.buckets == 0 && m2.skippedBuckets == 8 && m2.rows == 0)
     assert(spark.read.parquet(s"$dir/triples").count() == 500)
+
+    // resuming the committed day layout FLAT must refuse loudly — mixed
+    // partition depths under one triples root break every reader
+    val e = intercept[IllegalArgumentException] {
+      GraphSink.writeTriples(spark, triples, dir, 8, dayPartition = false)
+    }
+    assert(e.getMessage.contains("day_partition"))
   }
 
   test("clean partial-run resume still skips committed buckets") {

@@ -274,7 +274,7 @@ class StreamingSpec extends AnyFunSuite {
 
     val cols = Seq("conv_id", "turn_idx", "subj", "pred", "obj",
       "subj_id", "obj_id", "subj_canonical", "obj_canonical").map(org.apache.spark.sql.functions.col)
-    val got = spark.read.parquet(s"$outDir/triples").select(cols: _*)
+    val got = spark.read.parquet(s"$outDir/resolved_triples").select(cols: _*)
     val want = batchOut.resolvedTriples.select(cols: _*)
     assert(got.count() == want.count(), "row count mismatch vs batch resolve")
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
