@@ -33,7 +33,7 @@ object KgJob {
       turns: Long, triples: Long, entities: Long, edges: Long,
       bucketsWritten: Int, bucketsSkipped: Int)
 
-  private val knownFlags = Set("--input", "--model", "--output", "--buckets")
+  private val knownFlags = Set("--input", "--model", "--output", "--buckets", "--day-partition")
 
   def main(args: Array[String]): Unit = {
     // Strict parse (ADVICE r3): a misspelled flag or dangling token must
@@ -51,11 +51,12 @@ object KgJob {
     val modelPath = opts.getOrElse("--model", sys.error("--model <ner model parquet> required"))
     val output = opts.getOrElse("--output", sys.error("--output <graph dir> required"))
     val buckets = opts.getOrElse("--buckets", "16").toInt
+    val dayPartition = opts.getOrElse("--day-partition", "false").toBoolean
     val spark = SparkSession.builder()
       .appName("graft-kg-construct")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
-    val m = run(spark, input, modelPath, output, buckets)
+    val m = run(spark, input, modelPath, output, buckets, dayPartition)
     println(
       s"""{"job":"kg_construct","turns":${m.turns},"triples":${m.triples},""" +
         s""""entities":${m.entities},"edges":${m.edges},""" +
@@ -70,7 +71,7 @@ object KgJob {
     * N-vs-4N (BENCH/job_scaling.json).
     */
   def run(spark: SparkSession, input: String, modelPath: String, output: String,
-      buckets: Int = 16): JobMetrics = {
+      buckets: Int = 16, dayPartition: Boolean = false): JobMetrics = {
     import spark.implicits._
     var t = System.nanoTime()
     def phase(name: String): Unit = {
@@ -95,7 +96,8 @@ object KgJob {
     // resolvedTriples feeds the triple write AND the edges aggregation —
     // cache it so graph materialization costs one pipeline execution
     out.resolvedTriples.cache()
-    val wm = GraphSink.writeTriples(spark, out.resolvedTriples, output, buckets)
+    val wm = GraphSink.writeTriples(spark, out.resolvedTriples, output, buckets,
+      dayPartition = dayPartition)
     phase("resolve_write_triples_manifests")
     GraphSink.writeEntities(out.entities, output)
     GraphSink.writeEdges(out.edges, output)

@@ -79,5 +79,23 @@ class KgJobSpec extends AnyFunSuite {
       KgJob.run(spark, input, modelPath, output, buckets = 4)
     }
     assert(e.getMessage.contains("n_buckets"), e.getMessage)
+
+    // day-partitioned job run to a fresh output: same triples, day dirs
+    // under every bucket, layout recorded for the resume guard
+    val output2 = s"$dir/graph_day"
+    val mDay = KgJob.run(spark, input, modelPath, output2, buckets = 8, dayPartition = true)
+    assert(mDay.triples == m1.triples)
+    val dayGot = spark.read.parquet(s"$output2/triples")
+      .select("conv_id", "turn_idx", "subj", "pred", "obj").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(dayGot.sameElements(want), "day-partitioned table diverged")
+    val bucketDirs = new java.io.File(s"$output2/triples").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("conv_bucket="))
+    assert(bucketDirs.nonEmpty &&
+      bucketDirs.forall(_.listFiles().exists(_.getName.startsWith("day="))))
+    val eDay = intercept[IllegalArgumentException] {
+      KgJob.run(spark, input, modelPath, output2, buckets = 8, dayPartition = false)
+    }
+    assert(eDay.getMessage.contains("day_partition"), eDay.getMessage)
   }
 }
