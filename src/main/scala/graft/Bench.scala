@@ -1,12 +1,12 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import java.nio.file.{Files, Paths}
 
 /** Driver-run benchmark. Prints ONE COMPACT JSON line as the final stdout
   * line (driver contract: {"metric","value","unit","queries",...}) and
-  * writes the full per-query timing table to BENCH/queries_r4.json.
+  * writes the full per-query timing table to BENCH/queries_r5.json.
   *
   * Why the split: the driver captures a bounded TAIL of stdout; r1/r2
   * put all ~104 per-query timings on the contract line, which grew past
@@ -54,11 +54,38 @@ object Bench {
     Kg.roleScored(spark, sfDir).count()
     val roleSec = (System.nanoTime() - tR) / 1e9
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // per-query pass. Failures are RECORDED, not swallowed (VERDICT r4
+    // "what's wrong" #2): a query that starts crashing must surface as
+    // an error marker in the graded artifact, never as a weird timing.
+    def timeOne(fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
       val t = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").take(120)) }
+      ((System.nanoTime() - t) / 1e9, err)
     }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (sec, err) = timeOne(fn)
+      (name, sec, err)
+    }
+    // outlier re-timing (VERDICT r4 "what's wrong" #1): host CPU steal
+    // inflates single-shot walls 2-6x, and the per-query table was the
+    // last min-of-1 surface left (r4 recorded four phantom 11-22 s
+    // regressions that min-of-3 audits measured at <=1 s). Any query
+    // whose wall exceeds 3x the pass median gets ONE warm re-run; the
+    // min is the reported wall. Bounded cost: only the outliers re-run,
+    // and a genuinely slow query stays slow on its second sample.
+    val sorted = firstPass.map(_._2).sorted
+    val median = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
+    val retimeThreshold = math.max(1.0, 3 * median)
+    val results = firstPass.map {
+      case (name, sec, None) if sec > retimeThreshold =>
+        val (sec2, err2) = timeOne(SparkEntry.queries(name))
+        (name, math.min(sec, sec2), err2, Some(sec))
+      case (name, sec, err) => (name, sec, err, None)
+    }
+    val errors = results.collect { case (name, _, Some(msg), _) => name -> msg }
+    val nRetimed = results.count(_._4.isDefined)
 
     // scale exercise (VERDICT r1 item 3): 450k alias nodes / 2M triples
     // force the >threshold code paths — iterative CC loop, salted
@@ -96,18 +123,26 @@ object Bench {
     // `all` counts the flagship ONCE (the min) — total and the top-10
     // must not triple-count the two walls; the raw walls go ONLY to the
     // per-query file and the flagship_walls field
-    val all = results :+ ("kg_flagship_build" -> flagshipMin) :+
+    val all = results.map(t => t._1 -> t._2) :+ ("kg_flagship_build" -> flagshipMin) :+
       ("kg_role_train_score" -> roleSec) :+ ("kg_scale_linking" -> scaleSec) :+
       ("kg_stream_scale" -> streamSec)
     val total = all.map(_._2).sum
 
-    // full per-query table -> file artifact (every timing, 3 decimals)
+    // full per-query table -> file artifact (every timing, 3 decimals);
+    // retimed outliers keep their first-pass wall as <name>__run1, and
+    // any failed query lands in the "errors" object with its message
     Files.createDirectories(Paths.get("BENCH"))
-    val fileJson = (all :+ ("kg_flagship_build_run1" -> flagshipSec) :+
+    val run1Walls = results.collect { case (name, _, _, Some(first)) =>
+      (name + "__run1") -> first }
+    val timingsJson = (all ++ run1Walls :+ ("kg_flagship_build_run1" -> flagshipSec) :+
         ("kg_flagship_build_run2" -> flagship2)).sortBy(-_._2)
       .map { case (k, v) => s"""  "$k": ${r3(v)}""" }
-      .mkString("{\n", ",\n", "\n}\n")
-    Files.writeString(Paths.get("BENCH/queries_r4.json"), fileJson)
+      .mkString(",\n")
+    val errorsJson = errors
+      .map { case (k, msg) => s"""    "$k": "${msg.replace("\\", "\\\\").replace("\"", "'")}"""" }
+      .mkString("{\n", ",\n", "\n  }")
+    val fileJson = s"""{\n  "errors": $errorsJson,\n$timingsJson\n}\n"""
+    Files.writeString(Paths.get("BENCH/queries_r5.json"), fileJson)
 
     // contract line: headline metrics + the 10 slowest queries only
     val top = all.sortBy(-_._2).take(10)
@@ -115,7 +150,8 @@ object Bench {
       .mkString("{", ",", "}")
     val contractLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"sf":"$sfDir",""" +
-        s""""n_queries":${all.size},"queries_file":"BENCH/queries_r4.json",""" +
+        s""""n_queries":${all.size},"errors":${errors.size},"retimed":$nRetimed,""" +
+        s""""queries_file":"BENCH/queries_r5.json",""" +
         s""""turns":$nTurns,"triples":$nTriples,"entities":$nEntities,""" +
         s""""flagship_sec":${r3(flagshipMin)},"turns_per_sec":${r3(turnsPerSecMin)},""" +
         s""""flagship_walls":[${r3(flagshipSec)},${r3(flagship2)}],""" +
@@ -136,7 +172,7 @@ object Bench {
     // records parsed:null (the defect that survived rounds 1–3)
     require(contractLine.length < 1300,
       s"contract line grew to ${contractLine.length} chars — trim fields or move them " +
-        "to BENCH/queries_r4.json before the driver's tail capture truncates it")
+        "to BENCH/queries_r5.json before the driver's tail capture truncates it")
     // Printed twice: once here (insurance against anything after us
     // truncating the tail) and once AFTER spark.stop() so Spark's
     // shutdown WARN chatter cannot land between the contract line and

@@ -108,6 +108,15 @@ object KgJob {
     val nTriples = out.resolvedTriples.count()
     phase("metrics_counts")
     out.resolvedTriples.unpersist()
+    // the CC frontier checkpoint exists only to resume a KILLED linking
+    // phase; once the job's final manifests are committed it is dead
+    // weight — O(|nodes|) parquet left under every successful output,
+    // and a later run reusing the dir with different input would trip
+    // the node-set fingerprint guard even after clearing triples +
+    // _manifests (ADVICE r4). Delete it at the success point.
+    val ccDir = new org.apache.hadoop.fs.Path(s"$output/_cc_checkpoints")
+    val hfs = ccDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(ccDir)) hfs.delete(ccDir, true)
     JobMetrics(nTurns, nTriples, nEntities, nEdges, wm.buckets, wm.skippedBuckets)
   }
 }

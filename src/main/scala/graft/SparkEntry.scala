@@ -370,6 +370,13 @@ object SparkEntry {
         |  bit_xor(h) AS fingerprint, 'v1' AS config
         |FROM '__OUTDIR__/kg_bucket_hashes/*.parquet'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB's naive-timestamp CAST AS DATE truncates without any TZ —
+    // exactly the UTC epoch-day the partition layout uses
+    "kg_day_prune" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, pred, count(*) AS n_triples
+        |FROM '__OUTDIR__/kg_resolved_triples/*.parquet'
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2025-01-02' AND DATE '2025-01-03'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // overflow accounting recomputed from the exploded blocking keys
     "kg_block_overflow" ->
       """SELECT block_key, tag, count(*) AS block_n
@@ -514,8 +521,12 @@ object SparkEntry {
     // exact-count rollup twin of kg_metrics_rollup (that one demos HLL
     // approx_count_distinct, whose sketch has no DuckDB twin — this one
     // is fully oracled from the resolved-triple dump)
+    // day via the ONE shared TZ-proof epoch-day expression (GraphSink
+    // .utcDay) — under the pinned-UTC session it equals to_date(ts), but
+    // a non-UTC deploy must never report metric days that disagree with
+    // the physical day=... partition layout (VERDICT r4 finding #3)
     "kg_pred_stats" -> ((s, d) => Kg.built(s, d).out.resolvedTriples
-      .withColumn("day", to_date(col("ts")).cast("string"))
+      .withColumn("day", graft.pipeline.GraphSink.utcDay(col("ts")).cast("string"))
       .rollup(col("day"), col("pred"))
       .agg(count(lit(1)).as("n_triples"), countDistinct(col("conv_id")).as("n_convs"))
       .select(coalesce(col("day"), lit("ALL")).as("day"),
@@ -633,7 +644,7 @@ object SparkEntry {
     }),
     // metrics rollup with HLL approx-distinct (rows 57-58)
     "kg_metrics_rollup" -> ((s, d) => Kg.built(s, d).out.resolvedTriples
-      .withColumn("day", to_date(col("ts")))
+      .withColumn("day", graft.pipeline.GraphSink.utcDay(col("ts")))
       .rollup(col("day"), col("pred"))
       .agg(count(lit(1)).as("n_triples"),
         approx_count_distinct(col("conv_id")).as("approx_convs"))
@@ -678,6 +689,34 @@ object SparkEntry {
       s.read.json(s"$outDir/_manifests")
         .select(col("bucket"), col("rows"), col("fingerprint"), col("config"))
         .orderBy(col("bucket"))
+    }),
+    // day-partitioned materialization + PRUNED time-range read-back
+    // (SURVEY.md §7.5 second partition level): writes bucket(conv_id)/
+    // day(ts) layout, then aggregates a two-day window through
+    // readTriplesDayRange — the scan lists only the matching day dirs
+    // (PlanSpec asserts the pruned file set; this query oracles the
+    // VALUES read through that pruned path against the full dump)
+    "kg_day_prune" -> ((s, d) => {
+      val b = Kg.built(s, d)
+      val outDir = s"/tmp/graft_kg_day/${new java.io.File(d).getName}"
+      val p = new org.apache.hadoop.fs.Path(outDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      // day-partition ONE MONTH of the corpus, not all of it: the
+      // synthetic generator spaces conversations 1 h apart, so sf0.1
+      // spans ~8 years and a full bucket×day write would fan out into
+      // ~50k tiny leaf dirs — a file-count artifact of the tiny test
+      // days, not the deploy shape (at 10^12 turns a day is huge and
+      // bucket×day is the right grain). The month bounds the layout at
+      // 16×31 dirs at any sf while the pruned read stays fully real.
+      val jan = b.out.resolvedTriples.where(
+        col("ts") >= expr("timestamp_millis(1735689600000)") && // 2025-01-01T00Z
+          col("ts") < expr("timestamp_millis(1738368000000)")) // 2025-02-01T00Z
+      graft.pipeline.GraphSink.writeTriples(s, jan, outDir, 4, dayPartition = true)
+      graft.pipeline.GraphSink.readTriplesDayRange(s, outDir, "2025-01-02", "2025-01-03")
+        .groupBy(col("day").cast("string").as("day"), col("pred"))
+        .agg(count(lit(1)).as("n_triples"))
+        .orderBy(col("day"), col("pred"))
     })
   )
 }

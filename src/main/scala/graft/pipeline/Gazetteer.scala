@@ -60,20 +60,37 @@ object Gazetteer {
     * shuffle join when large" — real KBs run to 10^8 aliases).
     */
   val GAZ_BROADCAST_THRESHOLD = 200000L
+
+  /** Byte ceiling for the broadcast path: a row-LIGHT but byte-HEAVY
+    * alias table (long aliases, wide metadata) must not get a forced
+    * `broadcast()` hint that bypasses autoBroadcastJoinThreshold and
+    * blows driver/executor memory (ADVICE r4). 64 MB is comfortably
+    * inside a default 1 GB driver while far above any sane ≤200k-row
+    * alias table.
+    */
+  val GAZ_BROADCAST_MAX_BYTES: Long = 64L << 20
   val GAZ_SALT = 8
 
-  /** Adaptive dispatch on gazetteer size. Callers that already know the
-    * alias count pass it via `gazRows` to skip the count job; otherwise
-    * one count runs per call (cheap: a metadata-only count for
-    * parquet-backed tables, a trivial job for driver-built ones — the
-    * dispatch input is a dimension table, never the mention stream).
-    * Both paths proven equal in GazetteerSaltSpec.
+  /** Adaptive dispatch on gazetteer size, gated on BOTH dimensions:
+    * estimated bytes first (free — Catalyst plan statistics: file sizes
+    * for parquet-backed tables, row-width estimates for in-memory
+    * relations; no job runs), then row count. A byte-heavy table goes
+    * salted without even counting; callers that already know the alias
+    * count pass `gazRows` to skip the count job (cheap anyway: a
+    * metadata-only count for parquet, a trivial job for driver-built
+    * tables — the dispatch input is a dimension table, never the
+    * mention stream). Both paths proven equal in GazetteerSaltSpec.
     */
   def disambiguate(mentions: DataFrame, gazetteer: DataFrame,
-      gazRows: Option[Long] = None): DataFrame =
-    if (gazRows.getOrElse(gazetteer.count()) <= GAZ_BROADCAST_THRESHOLD)
+      gazRows: Option[Long] = None,
+      maxBroadcastBytes: Long = GAZ_BROADCAST_MAX_BYTES): DataFrame = {
+    val estBytes = gazetteer.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes > BigInt(maxBroadcastBytes))
+      disambiguateSalted(mentions, gazetteer)
+    else if (gazRows.getOrElse(gazetteer.count()) <= GAZ_BROADCAST_THRESHOLD)
       disambiguateBroadcast(mentions, gazetteer)
     else disambiguateSalted(mentions, gazetteer)
+  }
 
   /** Candidate generation (broadcast equi-join on block key) + residual
     * fuzzy predicate + scored disambiguation.

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 
 import java.nio.charset.StandardCharsets
 
@@ -28,6 +28,17 @@ object GraphSink {
 
   final case class WriteMetrics(
       buckets: Int, skippedBuckets: Int, rows: Long, distinctConvs: Long)
+
+  /** THE day definition — UTC epoch-day arithmetic, never `to_date(ts)`:
+    * to_date applies spark.sql.session.timeZone, so the same row could
+    * land in different days under different session TZs. One shared
+    * expression keeps the physical partition layout, the metrics rollup,
+    * and every day-keyed query in agreement by construction (VERDICT r4
+    * "what's wrong" #3 / ADVICE r4: two day definitions coexisted).
+    */
+  def utcDay(ts: Column): Column =
+    date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+      floor(unix_millis(ts) / 86400000L).cast("int"))
 
   def bucketed(resolvedTriples: DataFrame, nBuckets: Int): DataFrame =
     resolvedTriples.withColumn("conv_bucket",
@@ -79,6 +90,26 @@ object GraphSink {
     // ones (readers then fail on conflicting directory structures) —
     // refuse loudly instead
     if (done.nonEmpty) validateResumeConfig(spark, outDir, nBuckets, configHash, dayPartition)
+    val f = fs(spark, outDir)
+    // whole-bucket replace on resume (ADVICE r4): dynamic overwrite only
+    // replaces the LEAF partitions present in the resumed data. Under the
+    // day layout, if a pending (uncommitted) bucket's resumed rows split
+    // into a different day set than the crashed run's (input drift not
+    // captured by configHash), a stale day dir would survive inside the
+    // "replaced" bucket and the read-back fingerprint would bless it into
+    // the manifest. Deleting every UNCOMMITTED bucket directory up front
+    // restores the flat layout's whole-bucket-replace guarantee — the
+    // committed (manifested) buckets are exactly the ones kept.
+    if (done.nonEmpty) {
+      val triplesDir0 = new Path(s"$outDir/triples")
+      if (f.exists(triplesDir0)) {
+        for (st <- f.listStatus(triplesDir0)
+             if st.isDirectory && st.getPath.getName.startsWith("conv_bucket=")) {
+          val bucket = st.getPath.getName.stripPrefix("conv_bucket=").toInt
+          if (!done.contains(bucket)) f.delete(st.getPath, true)
+        }
+      }
+    }
     val all = bucketed(resolvedTriples, nBuckets)
     val pending = if (done.isEmpty) all else all.where(!col("conv_bucket").isin(done.toSeq: _*))
 
@@ -103,17 +134,13 @@ object GraphSink {
     // overwrite, re-processing a pending bucket REPLACES its partition
     // directory, so the write is idempotent and the manifest rename stays
     // the single commit point.
-    // day derived by EPOCH ARITHMETIC (UTC day), not to_date(ts):
-    // to_date applies spark.sql.session.timeZone, so a resume under a
-    // different session TZ would re-split near-midnight rows into
-    // different day dirs — dynamic overwrite would then leave the stale
-    // day dir alive inside a "replaced" bucket and the manifest would
-    // bless duplicated rows. Epoch math is TZ-independent, keeping the
-    // day split a deterministic function of the rows.
-    val utcDay = expr(
-      "date_add(DATE'1970-01-01', CAST(FLOOR(unix_millis(ts) / 86400000) AS INT))")
+    // day derived by the shared TZ-proof utcDay expression (see its doc):
+    // a resume under a different session TZ must not re-split
+    // near-midnight rows into different day dirs — dynamic overwrite
+    // would then leave the stale day dir alive inside a "replaced"
+    // bucket and the manifest would bless duplicated rows.
     val (toWrite, partCols) =
-      if (dayPartition) (observed.withColumn("day", utcDay), Seq("conv_bucket", "day"))
+      if (dayPartition) (observed.withColumn("day", utcDay(col("ts"))), Seq("conv_bucket", "day"))
       else (observed, Seq("conv_bucket"))
     toWrite.repartition(col("conv_bucket")).write
       .mode(SaveMode.Overwrite)
@@ -145,7 +172,6 @@ object GraphSink {
     // restrict to the buckets this run wrote (see the observe above) —
     // this also makes a zero-row write skip the scan entirely (a triples
     // dir holding only _SUCCESS would fail schema inference)
-    val f = fs(spark, outDir)
     val triplesDir = new Path(s"$outDir/triples")
     val perBucket =
       if (written.isEmpty || !f.exists(triplesDir)) Array.empty[org.apache.spark.sql.Row]
@@ -222,12 +248,34 @@ object GraphSink {
       .parquet(s"$outDir/edges")
 
   /** Metrics rollup over the materialized graph: triple counts by
-    * (day, pred) with subtotals (SURVEY.md §2 rows 57–58).
+    * (day, pred) with subtotals (SURVEY.md §2 rows 57–58). When the
+    * table was written with dayPartition the PHYSICAL `day` partition
+    * column is used directly (it already holds the utcDay split, and
+    * grouping on the partition column costs no per-row derivation);
+    * otherwise the same shared utcDay expression derives it — either
+    * way the rollup's day agrees with the layout's under any session TZ.
     */
-  def metricsRollup(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/triples")
-      .withColumn("day", to_date(col("ts")))
+  def metricsRollup(spark: SparkSession, outDir: String): DataFrame = {
+    val triples = spark.read.parquet(s"$outDir/triples")
+    val withDay =
+      if (triples.columns.contains("day")) triples
+      else triples.withColumn("day", utcDay(col("ts")))
+    withDay
       .rollup(col("day"), col("pred"))
       .agg(count(lit(1)).as("n_triples"),
         approx_count_distinct(col("conv_id")).as("approx_convs"))
+  }
+
+  /** Time-range read over a day-partitioned triples table: the filter is
+    * on the PARTITION column, so the scan prunes to the matching
+    * `conv_bucket=* /day=...` directories without touching any other
+    * file (the payoff of the second partition level — PlanSpec asserts
+    * the PartitionFilters + the pruned inputFiles set). Bounds are
+    * inclusive UTC days.
+    */
+  def readTriplesDayRange(spark: SparkSession, outDir: String,
+      fromDay: String, toDay: String): DataFrame =
+    spark.read.parquet(s"$outDir/triples")
+      .where(col("day").between(
+        lit(java.sql.Date.valueOf(fromDay)), lit(java.sql.Date.valueOf(toDay))))
 }

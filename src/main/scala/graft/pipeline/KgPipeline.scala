@@ -299,7 +299,8 @@ object KgPipeline {
     for (m <- last) require(m.n == nNodes && m.fp == nodesFp,
       s"CC checkpoint at $checkpointDir (iter ${m.iter}) was written for a different " +
         s"node set (${m.n} nodes, fp ${m.fp}; current: $nNodes, fp $nodesFp) — " +
-        "clear the checkpoint directory or point the job at its original input")
+        s"delete the checkpoint directory (`rm -r $checkpointDir`, for a KgJob output " +
+        "that is `<output>/_cc_checkpoints`) or point the job at its original input")
     // sweep frontiers superseded before a crash landed in the
     // commit-then-prune window: without this, an iter-(k-1) surviving a
     // crash between iter-k's marker rename and its prune is never

@@ -81,9 +81,17 @@ class KgJobSpec extends AnyFunSuite {
     assert(e.getMessage.contains("n_buckets"), e.getMessage)
 
     // day-partitioned job run to a fresh output: same triples, day dirs
-    // under every bucket, layout recorded for the resume guard
+    // under every bucket, layout recorded for the resume guard. A
+    // leftover CC checkpoint is planted under the output first: a
+    // SUCCESSFUL job must clean `_cc_checkpoints` up (ADVICE r4 — the
+    // frontier is O(|nodes|) dead weight once the manifests commit, and
+    // a stale one trips the fingerprint guard on a later reuse)
     val output2 = s"$dir/graph_day"
+    val ccDir = new java.io.File(s"$output2/_cc_checkpoints")
+    ccDir.mkdirs()
+    java.nio.file.Files.writeString(ccDir.toPath.resolve("stale-marker.txt"), "leftover")
     val mDay = KgJob.run(spark, input, modelPath, output2, buckets = 8, dayPartition = true)
+    assert(!ccDir.exists(), "_cc_checkpoints must be deleted after a successful job")
     assert(mDay.triples == m1.triples)
     val dayGot = spark.read.parquet(s"$output2/triples")
       .select("conv_id", "turn_idx", "subj", "pred", "obj").collect()

@@ -54,4 +54,35 @@ class GazetteerSaltSpec extends AnyFunSuite {
     assert(viaDispatch.exceptAll(viaBroadcast).count() == 0)
     assert(viaBroadcast.exceptAll(viaDispatch).count() == 0)
   }
+
+  test("byte ceiling vetoes the broadcast hint for a row-light gazetteer") {
+    // ADVICE r4: the dispatch must gate on ESTIMATED BYTES before row
+    // count, so a row-light but byte-heavy alias table never gets a
+    // forced broadcast() that bypasses autoBroadcastJoinThreshold. A
+    // parquet-backed table carries true file-size stats (the realistic
+    // dimension-table shape; driver-built LocalRelations only get
+    // default column widths) — the ceiling is exercised by lowering the
+    // maxBroadcastBytes knob under the fixture's real size rather than
+    // materializing a >64 MB fixture in the suite.
+    val dir = s"${java.nio.file.Files.createTempDirectory("gaz_bytes")}/aliases"
+    ScaleLinking.syntheticAliasTable(spark, nEntities = 40, hotAliases = 8)
+      .write.parquet(dir)
+    val gaz = spark.read.parquet(dir)
+    val stats = gaz.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stats > 0, "parquet-backed stats must be real file sizes")
+    val mentions = ScaleLinking.syntheticGazMentions(spark, 500, nEntities = 40, hotAliases = 8)
+
+    // ceiling BELOW the table size -> salted, even though rows are tiny
+    // (gazRows passed so no count job could mask the byte veto)
+    val salted = Gazetteer.disambiguate(mentions, gaz, gazRows = Some(1L),
+      maxBroadcastBytes = stats.toLong - 1)
+    assert(salted.queryExecution.analyzed.toString.contains("m_salt"),
+      "byte-heavy gazetteer must take the salted path")
+    // ceiling above -> broadcast path (no mention-side salt column)
+    val bcast = Gazetteer.disambiguate(mentions, gaz, gazRows = Some(1L),
+      maxBroadcastBytes = stats.toLong + 1000000)
+    assert(!bcast.queryExecution.analyzed.toString.contains("m_salt"))
+    // and the two dispatches agree row for row
+    assert(salted.exceptAll(bcast).count() == 0 && bcast.exceptAll(salted).count() == 0)
+  }
 }

@@ -95,6 +95,50 @@ class GraphSinkCrashSpec extends AnyFunSuite {
     assert(e.getMessage.contains("day_partition"))
   }
 
+  test("day layout: drifted resume of a pending bucket leaves no stale day dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_drift").toString
+    // 3-day spread so each bucket holds several day dirs
+    val triples = sampleTriples()
+      .withColumn("ts",
+        expr("timestamp_millis(1700000000000 + CAST(turn_idx AS BIGINT) * 43200000)"))
+    GraphSink.writeTriples(spark, triples, dir, 8, dayPartition = true)
+
+    // crash window: one bucket's data committed, manifest lost
+    val victim = new java.io.File(s"$dir/_manifests").listFiles()
+      .filter(_.getName.startsWith("bucket-")).map(_.getName)
+      .map(_.stripPrefix("bucket-").stripSuffix(".json").toInt).min
+    assert(new java.io.File(s"$dir/_manifests/bucket-$victim.json").delete())
+
+    // the resumed run sees DRIFTED input (ts shifted +30 days — a day
+    // set disjoint from the crashed run's). ADVICE r4: dynamic overwrite
+    // alone only replaces the day leaves present in the NEW data, so the
+    // old day dirs would survive inside the "replaced" bucket and get
+    // blessed into the manifest by the read-back fingerprint. The
+    // up-front delete of uncommitted bucket dirs must prevent that.
+    val drifted = triples.withColumn("ts",
+      expr("timestamp_millis(unix_millis(ts) + 2592000000)"))
+    GraphSink.writeTriples(spark, drifted, dir, 8, dayPartition = true)
+
+    val oldDays = GraphSink.bucketed(triples, 8)
+      .where(col("conv_bucket") === victim)
+      .select(GraphSink.utcDay(col("ts")).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val onDisk = new java.io.File(s"$dir/triples/conv_bucket=$victim").listFiles()
+      .filter(_.getName.startsWith("day=")).map(_.getName.stripPrefix("day=")).toSet
+    assert(oldDays.nonEmpty && onDisk.intersect(oldDays).isEmpty,
+      s"stale pre-drift day dirs survived the resume: ${onDisk.intersect(oldDays)}")
+
+    // the victim bucket's rows and manifest now describe ONLY the
+    // drifted input — no duplicate rows from the crashed run
+    val expect = GraphSink.bucketed(drifted, 8).where(col("conv_bucket") === victim).count()
+    val got = spark.read.parquet(s"$dir/triples")
+      .where(col("conv_bucket") === victim).count()
+    assert(got == expect, s"victim bucket rows $got != drifted input $expect")
+    val m = spark.read.json(s"$dir/_manifests")
+      .where(col("bucket") === victim).select(col("rows")).first().getLong(0)
+    assert(m == expect)
+  }
+
   test("clean partial-run resume still skips committed buckets") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_partial").toString
     val triples = sampleTriples()

@@ -101,6 +101,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p.take(2000))
   }
 
+  test("day-partitioned triples: time-range read prunes to the matching day dirs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan_day").toString
+    // 4 UTC days starting 2025-01-01, hourly rows (24 per day)
+    val triples = (0 until 96).map { i =>
+      (s"c${i % 7}", i, new java.sql.Timestamp(1735689600000L + i.toLong * 3600000L),
+        s"s$i", "mentions", s"o${i % 5}")
+    }.toDF("conv_id", "turn_idx", "ts", "subj", "pred", "obj")
+    graft.pipeline.GraphSink.writeTriples(spark, triples, dir, nBuckets = 4,
+      dayPartition = true)
+
+    val ranged = graft.pipeline.GraphSink.readTriplesDayRange(
+      spark, dir, "2025-01-02", "2025-01-03")
+    // the filter lands on the PARTITION column: the scan's partition
+    // filters carry it and no file outside the two days is even listed —
+    // the payoff of the second partition level (SURVEY.md §7.5)
+    val scan = ranged.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s }.head
+    assert(scan.partitionFilters.map(_.toString).mkString(",").contains("day"),
+      s"no partition filter on day: ${scan.partitionFilters}")
+    // selectedPartitions is the post-pruning file set the scan will read
+    // (Dataset.inputFiles reports the UNpruned FileIndex — useless here)
+    val files = scan.selectedPartitions.toPartitionArray.map(_.filePath.toString)
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("day=2025-01-02") || f.contains("day=2025-01-03")),
+      s"scan reads files outside the day range: ${files.mkString("\n")}")
+    // and the data actually spans both boundary semantics (inclusive)
+    assert(ranged.count() == 48, s"expected 2 of 4 days = 48 rows, got ${ranged.count()}")
+    assert(ranged.select("day").distinct().count() == 2)
+  }
+
   test("kg surface-node hot aggregation is hash-based") {
     val labeled = graft.pipeline.Transcripts.generateLabeled(spark, 20)
     val model = graft.pipeline.NerTraining.trainAndBroadcast(
