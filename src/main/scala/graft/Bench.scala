@@ -134,7 +134,12 @@ object Bench {
     Files.createDirectories(Paths.get("BENCH"))
     val run1Walls = results.collect { case (name, _, _, Some(first)) =>
       (name + "__run1") -> first }
-    val timingsJson = (all ++ run1Walls :+ ("kg_flagship_build_run1" -> flagshipSec) :+
+    // scale-exercise phase attribution (min-of-1 stage, steal-sensitive:
+    // the file artifact carries the split so a fat total is diagnosable)
+    val scaleWalls = graft.pipeline.ScaleLinking.lastPhaseWalls
+      .map { case (n, sec) => s"kg_scale_linking__$n" -> sec }
+    val timingsJson = (all ++ run1Walls ++ scaleWalls :+
+        ("kg_flagship_build_run1" -> flagshipSec) :+
         ("kg_flagship_build_run2" -> flagship2)).sortBy(-_._2)
       .map { case (k, v) => s"""  "$k": ${r3(v)}""" }
       .mkString(",\n")
