@@ -102,6 +102,12 @@ object Bench {
     val stream = graft.streaming.StreamingScale.run(spark)
     val streamSec = (System.nanoTime() - tStr) / 1e9
 
+    // the PRODUCTION streaming entry at bench scale: the full corpus
+    // through graft.StreamJob (persisted model, published canon map,
+    // file drops, --once), gated stream == batch by count+fingerprint.
+    // sjob.sec times only the job run, not the untimed staging.
+    val sjob = graft.streaming.StreamJobScale.run(spark, sfDir)
+
     // second COLD flagship build: host CPU steal inflates any single
     // wall 2–6× (BENCH/BASELINE.md), and the flagship number is the
     // BASELINE.json headline — min-of-2 is the documented estimator
@@ -125,7 +131,7 @@ object Bench {
     // per-query file and the flagship_walls field
     val all = results.map(t => t._1 -> t._2) :+ ("kg_flagship_build" -> flagshipMin) :+
       ("kg_role_train_score" -> roleSec) :+ ("kg_scale_linking" -> scaleSec) :+
-      ("kg_stream_scale" -> streamSec)
+      ("kg_stream_scale" -> streamSec) :+ ("kg_stream_job" -> sjob.sec)
     val total = all.map(_._2).sum
 
     // full per-query table -> file artifact (every timing, 3 decimals);
@@ -167,7 +173,9 @@ object Bench {
         s""""scale_gaz_aliases":${scale.gazAliases},"scale_gaz_resolved":${scale.gazResolved},""" +
         s""""stream_docs":${stream.docs},"stream_pairs":${stream.pairs},""" +
         s""""stream_hot_pairs":${stream.hotPairs},"stream_state_peak":${stream.statePeak},""" +
-        s""""stream_state_after_expiry":${stream.stateAfterExpiry}}"""
+        s""""stream_state_after_expiry":${stream.stateAfterExpiry},""" +
+        s""""sjob_turns":${sjob.turns},"sjob_rows":${sjob.rows},""" +
+        s""""sjob_sec":${r3(sjob.sec)},"sjob_turns_per_sec":${r3(sjob.turns / sjob.sec)}}"""
     // the driver parses a bounded (~2 KB) stdout TAIL. The binding
     // invariant is that the LAST copy of the line (printed after
     // spark.stop(), followed only by sbt's ~70-char "[success]" trailer)
