@@ -138,4 +138,103 @@ class StreamJobSpec extends AnyFunSuite {
         assert(json.contains(s""""canon_version":"$v2""""), s"batch $id: $json")
     } finally q.stop()
   }
+
+  test("crash replay across a canon re-publish: committed batches stay, uncommitted rewrite under the new map") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("streamjob_crash").toString
+    val input = s"$dir/drops"
+    val canonDir = s"$dir/canon"
+    val output = s"$dir/out"
+
+    val labeled = Transcripts.generateLabeled(spark, N).cache()
+    val model = NerTraining.trainAndBroadcast(spark, Transcripts.trainSplit(labeled))
+    val all = Transcripts.generate(spark, N).cache()
+    val bo = KgPipeline.run(spark, all, model)
+    val fullMap = KgPipeline.canonicalize(bo.nodes, bo.components).cache()
+
+    // v1: EMPTY map — both batches of run 1 resolve nothing
+    val v1 = StreamingIngest.publishCanonMap(
+      fullMap.where(org.apache.spark.sql.functions.lit(false)), canonDir)
+    all.where($"conv_id" < "c0000010").coalesce(1).write.parquet(s"$input/drop1")
+    def startQuery() = StreamingIngest.sinkResolvedTriplesRefreshing(
+      StreamingIngest.tagStream(StreamingIngest.readTurns(spark, s"$input/drop*"), model),
+      canonDir, output)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    all.where($"conv_id" >= "c0000010").coalesce(1).write.parquet(s"$input/drop2")
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination() // fully release the checkpoint before restart
+
+    def dataBatches(): Seq[Long] = new java.io.File(s"$output/_manifests").listFiles()
+      .filter(_.getName.startsWith("stream-resolved-batch-"))
+      .map(_.getName.stripPrefix("stream-resolved-batch-").stripSuffix(".json").toLong)
+      .filter(b => spark.read.parquet(s"$output/resolved_triples/batch=$b").count() > 0)
+      .sorted.toSeq
+    val batches = dataBatches()
+    assert(batches.size >= 2, s"need two data batches, got $batches")
+    val keep = batches.init.last // stays committed
+    val victim = batches.last // crash window: data written, commit lost
+    def rows(b: Long) = spark.read.parquet(s"$output/resolved_triples/batch=$b")
+    val victimRowsBefore = rows(victim).count()
+
+    // simulate the crash BETWEEN our manifest rename and the streaming
+    // commit... strongest variant: BOTH the sink manifest and the
+    // streaming commit marker for the last batch are lost, so the
+    // restarted query replays batchId=victim and the sink rewrites it
+    assert(new java.io.File(s"$output/_manifests/stream-resolved-batch-$victim.json").delete())
+    // rewind the streaming commit log to BEFORE the victim: every commit
+    // marker >= victim goes (a no-data micro-batch may have committed
+    // after the last data batch; leaving its marker would stop the
+    // replay — the log's latest id is what restart resumes from). The
+    // offsets log stays, so the replayed batches carry identical data.
+    // (each marker's Hadoop local-FS `.N.crc` shadow must go with it, or
+    // the re-commit's rename fails as already-exists)
+    def trimLog(dir: String, keepBelow: Long): Unit = {
+      val d = new java.io.File(s"$output/_checkpoint_resolved/$dir")
+      for (f <- d.listFiles()
+           if f.getName.forall(_.isDigit) && f.getName.toLong >= keepBelow) {
+        assert(f.delete(), s"could not delete $f")
+        val crc = new java.io.File(d, s".${f.getName}.crc")
+        if (crc.exists()) crc.delete()
+      }
+    }
+    trimLog("commits", victim)
+    // Spark 4 validates offsets-latest == commits-latest (+1): trim the
+    // offsets log past the victim too, leaving exactly the in-flight
+    // batch (offsets present, commit missing) a real crash would leave
+    trimLog("offsets", victim + 1)
+
+    // the canonical map grew between crash and restart (the documented
+    // refresh deploy shape): the REPLAYED batch must resolve against v2
+    // wholesale, while the still-committed batch keeps its v1 result
+    val v2 = StreamingIngest.publishCanonMap(fullMap, canonDir)
+    assert(v2 != v1)
+    // the replayed batch re-commits an ALREADY-EXISTING dedup-state
+    // version (the exact on-disk shape a crash after the state commit
+    // leaves); Spark 4's per-batch state-commit count validation flags
+    // that re-commit on the local checksum FS, so it is disabled for the
+    // restarted query — the exactly-once property under test is the
+    // SINK's (manifest protocol), not the state store's bookkeeping
+    spark.conf.set("spark.sql.streaming.stateStore.commitValidation.enabled", "false")
+    try {
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      q2.awaitTermination()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.commitValidation.enabled")
+
+    assert(rows(victim).count() == victimRowsBefore,
+      "replayed batch duplicated or dropped rows")
+    assert(rows(victim).where(col("subj_id").isNotNull).count() > 0,
+      "replayed batch must be re-resolved under the refreshed map")
+    assert(rows(keep).where(col("subj_id").isNotNull).count() == 0,
+      "a committed batch must NOT be rewritten by the replay")
+    def manifest(b: Long): String = {
+      val src = scala.io.Source.fromFile(s"$output/_manifests/stream-resolved-batch-$b.json")
+      try src.mkString finally src.close()
+    }
+    assert(manifest(victim).contains(s""""canon_version":"$v2""""), manifest(victim))
+    assert(manifest(keep).contains(s""""canon_version":"$v1""""), manifest(keep))
+  }
 }
