@@ -266,16 +266,21 @@ object GraphSink {
         approx_count_distinct(col("conv_id")).as("approx_convs"))
   }
 
-  /** Time-range read over a day-partitioned triples table: the filter is
-    * on the PARTITION column, so the scan prunes to the matching
-    * `conv_bucket=* /day=...` directories without touching any other
-    * file (the payoff of the second partition level — PlanSpec asserts
-    * the PartitionFilters + the pruned inputFiles set). Bounds are
-    * inclusive UTC days.
+  /** Time-range read over the triples table. On a day-partitioned
+    * layout the filter lands on the PARTITION column, so the scan
+    * prunes to the matching `conv_bucket=* /day=...` directories
+    * without touching any other file (the payoff of the second
+    * partition level — PlanSpec asserts the PartitionFilters + the
+    * pruned file set). On a flat layout the same predicate is applied
+    * to utcDay(ts) instead — full scan, identical rows — so readers
+    * are layout-agnostic. Bounds are inclusive UTC days.
     */
   def readTriplesDayRange(spark: SparkSession, outDir: String,
-      fromDay: String, toDay: String): DataFrame =
-    spark.read.parquet(s"$outDir/triples")
-      .where(col("day").between(
-        lit(java.sql.Date.valueOf(fromDay)), lit(java.sql.Date.valueOf(toDay))))
+      fromDay: String, toDay: String): DataFrame = {
+    val triples = spark.read.parquet(s"$outDir/triples")
+    val dayCol =
+      if (triples.columns.contains("day")) col("day") else utcDay(col("ts"))
+    triples.where(dayCol.between(
+      lit(java.sql.Date.valueOf(fromDay)), lit(java.sql.Date.valueOf(toDay))))
+  }
 }

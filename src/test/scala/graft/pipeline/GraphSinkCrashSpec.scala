@@ -139,6 +139,24 @@ class GraphSinkCrashSpec extends AnyFunSuite {
     assert(m == expect)
   }
 
+  test("readTriplesDayRange is layout-agnostic: flat scan == pruned day read") {
+    val triples = sampleTriples()
+      .withColumn("ts",
+        expr("timestamp_millis(1700000000000 + CAST(turn_idx AS BIGINT) * 43200000)"))
+    val flat = java.nio.file.Files.createTempDirectory("graft_range_flat").toString
+    val day = java.nio.file.Files.createTempDirectory("graft_range_day").toString
+    GraphSink.writeTriples(spark, triples, flat, 8)
+    GraphSink.writeTriples(spark, triples, day, 8, dayPartition = true)
+    val Seq(fromD, toD) = Seq("2023-11-15", "2023-11-16")
+    val onFlat = GraphSink.readTriplesDayRange(spark, flat, fromD, toD)
+      .select("conv_id", "turn_idx", "subj", "pred", "obj")
+    val onDay = GraphSink.readTriplesDayRange(spark, day, fromD, toD)
+      .select("conv_id", "turn_idx", "subj", "pred", "obj")
+    assert(onFlat.count() > 0, "range must be non-vacuous")
+    assert(onFlat.exceptAll(onDay).count() == 0 && onDay.exceptAll(onFlat).count() == 0,
+      "flat-layout fallback diverged from the pruned day read")
+  }
+
   test("clean partial-run resume still skips committed buckets") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_partial").toString
     val triples = sampleTriples()
