@@ -174,6 +174,7 @@ object Bench {
         s""""stream_docs":${stream.docs},"stream_pairs":${stream.pairs},""" +
         s""""stream_hot_pairs":${stream.hotPairs},"stream_state_peak":${stream.statePeak},""" +
         s""""stream_state_after_expiry":${stream.stateAfterExpiry},""" +
+        s""""stream_batches":${stream.batches},"stream_batch_ms_median":${stream.medianBatchMs},""" +
         s""""sjob_turns":${sjob.turns},"sjob_rows":${sjob.rows},""" +
         s""""sjob_sec":${r3(sjob.sec)},"sjob_turns_per_sec":${r3(sjob.turns / sjob.sec)}}"""
     // the driver parses a bounded (~2 KB) stdout TAIL. The binding
