@@ -83,6 +83,18 @@ object SparkEntry {
         |JOIN '__OUTDIR__/kg_components/*.parquet' c ON n.node_id = c.node_id
         |GROUP BY c.component, n.tag
         |ORDER BY 1, 2""".stripMargin,
+    // incremental == full: the incremental query's entities must hash-
+    // equal the SAME recompute from the FULL-run dumps (the oracle knows
+    // nothing about the split — passing pins runIncremental's merge +
+    // super-node CC to the full answer)
+    "kg_incr_entities" ->
+      """SELECT min(n.norm) AS canonical, n.tag AS entity_type,
+        |  string_agg(DISTINCT n.surface, '|' ORDER BY n.surface) AS aliases,
+        |  CAST(sum(n.n_mentions) AS BIGINT) AS n_mentions
+        |FROM '__OUTDIR__/kg_nodes_full/*.parquet' n
+        |JOIN '__OUTDIR__/kg_components/*.parquet' c ON n.node_id = c.node_id
+        |GROUP BY c.component, n.tag
+        |ORDER BY 1, 2""".stripMargin,
     // gazetteer disambiguation redone from scratch: candidate equi-join
     // on the dumped blocking key, trigram-set Jaccard + type/popularity
     // scoring, per-surface argmax, mention join
@@ -502,6 +514,27 @@ object SparkEntry {
       .select(col("canonical"), col("entity_type"),
         concat_ws("|", col("aliases")).as("aliases"), col("n_mentions"))
       .orderBy(col("canonical"), col("entity_type"))),
+    // INCREMENTAL linking (SURVEY.md §7.5 production shape): link ~75% of
+    // the conversations as the "prior" run, then merge the remaining
+    // ~25% through KgPipeline.incrementalLink (active-block pair gen +
+    // super-node CC over the prior labels). The oracle is the SAME
+    // DuckDB entity recompute as kg_entities, fed by the FULL-run node +
+    // component dumps — so a driver-green hash is a machine-checked
+    // proof that incremental == full recompute, not just rows > 0.
+    "kg_incr_entities" -> ((s, d) => {
+      val b = Kg.built(s, d)
+      val isNew = pmod(xxhash64(col("conv_id")), lit(4)) === 0
+      val priorNodes = graft.pipeline.KgPipeline.surfaceNodes(
+        b.out.mentions.where(!isNew))
+      val (priorEdges, _) = graft.pipeline.KgPipeline.candidateEdges(priorNodes)
+      val priorLabels = graft.pipeline.KgPipeline.connectedComponents(priorNodes, priorEdges)
+      val inc = graft.pipeline.KgPipeline.incrementalLink(
+        priorNodes, priorLabels, b.out.mentions.where(isNew))
+      graft.pipeline.KgPipeline.entitiesTable(inc.nodes, inc.labels)
+        .select(col("canonical"), col("entity_type"),
+          concat_ws("|", col("aliases")).as("aliases"), col("n_mentions"))
+        .orderBy(col("canonical"), col("entity_type"))
+    }),
     // ordered so the oracle (which re-runs the whole resolve join in
     // DuckDB from the triple + canon-map dumps) can compare row-by-row
     "kg_resolved_triples" -> ((s, d) => Kg.built(s, d).out.resolvedTriples

@@ -105,13 +105,29 @@ object KgPipeline {
     * predicate. Oversized blocks are dropped WITH a count (returned via
     * the `block_overflow` accumulator column in the second DF).
     */
-  def candidateEdges(nodes: DataFrame, maxBlock: Int = MAX_BLOCK_SIZE): (DataFrame, DataFrame) = {
-    val spark = nodes.sparkSession
-    import spark.implicits._
+  def candidateEdges(nodes: DataFrame, maxBlock: Int = MAX_BLOCK_SIZE): (DataFrame, DataFrame) =
+    pairsFromKeyed(blockKeyed(nodes), maxBlock)
+
+  /** (block_key, tag, node_id, norm) rows — one per (node, blocking key).
+    * Shared by the full run and the incremental path so both see the
+    * SAME deterministic block membership for any node set.
+    */
+  def blockKeyed(nodes: DataFrame): DataFrame = {
     val keysUdf = udf((norm: String) => Linker.blockKeys(norm))
-    val keyed = nodes
-      .withColumn("block_key", explode(keysUdf($"norm")))
-      .select($"block_key", $"tag", $"node_id", $"norm")
+    nodes
+      .withColumn("block_key", explode(keysUdf(col("norm"))))
+      .select(col("block_key"), col("tag"), col("node_id"), col("norm"))
+  }
+
+  /** Same-entity pairs within the given keyed block membership: size cap
+    * with counted overflow, self-join, residual `isMatch` predicate.
+    * Callers pass the FULL membership of every block they want paired —
+    * block sizes (and hence the overflow cap) are computed from exactly
+    * the rows given.
+    */
+  private def pairsFromKeyed(keyed: DataFrame, maxBlock: Int): (DataFrame, DataFrame) = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
     val blockSizes = keyed.groupBy($"block_key", $"tag").agg(count(lit(1)).as("block_n"))
     val overflow = blockSizes.where($"block_n" > maxBlock)
     val small = keyed.join(broadcast(overflow.select($"block_key", $"tag")),
@@ -478,6 +494,109 @@ object KgPipeline {
       .where(col("subj_id").isNotNull && col("obj_id").isNotNull && col("pred") =!= "instance_of")
       .groupBy(col("subj_id").as("src"), col("obj_id").as("dst"), col("pred"))
       .agg(count(lit(1)).cast("double").as("weight"))
+
+  // ---------------------------------------------------- incremental linking
+
+  /** Merge a prior run's surface-node table with the nodes of a new
+    * batch. node_id = xxhash64(tag|norm) is stable, so the merge is a
+    * pure re-aggregation: mention counts add, the canonical raw surface
+    * is the min over both sides (min of per-side mins == the min a full
+    * recompute over the combined corpus takes). Both inputs are
+    * alias-scale (distinct surfaces), orders of magnitude smaller than
+    * the corpus — the groupBy shuffle here never touches turn data.
+    */
+  def mergeNodes(priorNodes: DataFrame, newNodes: DataFrame): DataFrame = {
+    val cols = Seq("node_id", "norm", "tag", "n_mentions", "surface")
+    priorNodes.select(cols.map(col): _*)
+      .unionByName(newNodes.select(cols.map(col): _*))
+      .groupBy(col("node_id"), col("norm"), col("tag"))
+      .agg(sum(col("n_mentions")).as("n_mentions"), min(col("surface")).as("surface"))
+      // exact surfaceNodes column order: downstream consumers and the
+      // parity gates treat the merged table as a drop-in node table
+      .select(col("norm"), col("tag"), col("n_mentions"), col("surface"), col("node_id"))
+  }
+
+  final case class IncrementalLink(
+      nodes: DataFrame,     // merged surface-node table (== full-recompute nodes)
+      labels: DataFrame,    // (node_id, component) for EVERY merged node
+      newEdges: DataFrame,  // candidate pairs computed this batch (evidence/debug)
+      overflow: DataFrame)  // oversized blocks dropped this batch (counted)
+
+  /** Incremental entity linking (the 10^12-turn production shape: a full
+    * candidate-pair + CC recompute per daily batch would re-shuffle the
+    * entire alias graph to re-derive components that cannot have
+    * changed). Given the PRIOR run's link state (surface nodes + their
+    * component labels) and the mentions of a NEW batch only:
+    *
+    *   1. merge node tables (counts add; ids are stable hashes);
+    *   2. generate candidate pairs ONLY for blocks containing at least
+    *      one first-seen surface — but over each such block's FULL
+    *      merged membership, so block sizes, the overflow cap, and the
+    *      pair set agree exactly with what a full recompute produces for
+    *      those blocks. Blocks without a new node cannot produce a new
+    *      pair (block keys are a pure function of `norm`), and their old
+    *      pairs are already folded into the prior labels;
+    *   3. run connected components over the SUPER-NODE graph: each prior
+    *      component collapses to its label (the min node_id of its
+    *      members), new-batch edges project endpoints onto those labels,
+    *      and only TOUCHED super-nodes enter the loop — untouched
+    *      components keep their labels by construction. Because a prior
+    *      label is already the min id of its members, the min over a
+    *      merged super-component equals the min over all underlying
+    *      nodes, so the final labels are IDENTICAL to a full recompute
+    *      (gated by SparkParitySpec/KgIncrementalSpec and by the
+    *      kg_incr_entities oracle, which re-derives the full-run answer).
+    *
+    * Monotonicity caveat (documented semantics, not a bug): if new
+    * surfaces push a block PAST the overflow cap, the full recompute
+    * drops all its pairs while the incremental run keeps the merges the
+    * prior run already made from that block (entities are never
+    * un-merged by growth). Parity holds whenever no block crosses the
+    * cap between runs.
+    */
+  def incrementalLink(
+      priorNodes: DataFrame,
+      priorLabels: DataFrame,
+      newMentions: DataFrame,
+      maxBlock: Int = MAX_BLOCK_SIZE,
+      ccCheckpointDir: Option[String] = None): IncrementalLink = {
+    val newNodes = surfaceNodes(newMentions)
+    val merged = mergeNodes(priorNodes, newNodes)
+    // surfaces first seen in this batch. Left-anti on the prior ALIAS
+    // table (not the corpus); the prior side is shuffled by node_id —
+    // the same exchange mergeNodes already needs.
+    val newIds = newNodes.select(col("node_id"))
+      .join(priorNodes.select(col("node_id")), Seq("node_id"), "left_anti")
+    // blocks touched by a new node, with their FULL merged membership
+    val keyed = blockKeyed(merged)
+    val activeBlocks = keyed.join(newIds, Seq("node_id"), "left_semi")
+      .select(col("block_key"), col("tag")).distinct()
+    val active = keyed.join(activeBlocks, Seq("block_key", "tag"), "left_semi")
+    val (edges, overflow) = pairsFromKeyed(active, maxBlock)
+    // project endpoints onto prior component labels (nodes without a
+    // prior label — the new ones — stand for themselves)
+    val lbl = priorLabels.select(col("node_id"), col("component"))
+    val proj = edges
+      .join(lbl.toDF("src", "src_c"), Seq("src"), "left")
+      .join(lbl.toDF("dst", "dst_c"), Seq("dst"), "left")
+      .select(coalesce(col("src_c"), col("src")).as("src"),
+        coalesce(col("dst_c"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    // CC over the touched super-nodes only; everything untouched keeps
+    // its prior label (isolated super-nodes are fixed points of
+    // min-label propagation, so skipping them changes nothing)
+    val touched = proj.select(col("src").as("node_id"))
+      .unionByName(proj.select(col("dst").as("node_id"))).distinct()
+    val ccLabels = connectedComponents(touched, proj, ccCheckpointDir)
+    val oldFinal = priorLabels.select(col("node_id"), col("component"))
+      .join(ccLabels.toDF("component", "new_c"), Seq("component"), "left")
+      .select(col("node_id"), coalesce(col("new_c"), col("component")).as("component"))
+    val newFinal = newIds
+      .join(ccLabels.toDF("node_id", "new_c"), Seq("node_id"), "left")
+      .select(col("node_id"), coalesce(col("new_c"), col("node_id")).as("component"))
+    IncrementalLink(merged, oldFinal.unionByName(newFinal), edges, overflow)
+  }
 
   // ------------------------------------------------------------ full job
 
