@@ -101,7 +101,12 @@ object KgJob {
     phase("resolve_write_triples_manifests")
     GraphSink.writeEntities(out.entities, output)
     GraphSink.writeEdges(out.edges, output)
-    phase("write_entities_edges")
+    // link state makes the output INCREMENTAL-READY: KgIncrementalJob
+    // merges later transcript batches against these nodes/labels instead
+    // of relinking the whole corpus (alias-scale tables — two small
+    // parquet writes). A full run starts the applied-batch ledger empty.
+    GraphSink.writeLinkState(spark, out.nodes, out.components, s"$output/_linkstate")
+    phase("write_entities_edges_linkstate")
     val nTurns = out.tagged.count()
     val nEntities = out.entities.count()
     val nEdges = out.edges.count()

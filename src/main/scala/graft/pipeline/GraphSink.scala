@@ -237,6 +237,89 @@ object GraphSink {
     }
   }
 
+  // ------------------------------------------------------- link state
+
+  /** What an incremental run merges against: the surface-node table and
+    * its component labels, plus the identity tokens of every input batch
+    * already applied (the double-apply guard — re-merging a batch would
+    * double its mention counts and duplicate its triples). Committed via
+    * the usual tmp+rename marker; a directory without `_committed.json`
+    * is not link state (a crash mid-write must read as "absent", with
+    * the full job as the remediation).
+    */
+  final case class LinkState(
+      nodes: DataFrame, labels: DataFrame, appliedTokens: Seq[String])
+
+  private def linkStateMarker(dir: String) = new Path(s"$dir/_committed.json")
+
+  def writeLinkState(spark: SparkSession, nodes: DataFrame, labels: DataFrame,
+      dir: String, appliedTokens: Seq[String] = Nil): Unit = {
+    val f = fs(spark, dir)
+    // invalidate first: a crash below leaves no marker, not a stale one
+    f.delete(linkStateMarker(dir), false)
+    nodes.select(col("norm"), col("tag"), col("n_mentions"), col("surface"), col("node_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/nodes")
+    labels.select(col("node_id"), col("component"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/labels")
+    val n = spark.read.parquet(s"$dir/nodes").count()
+    val json = s"""{"n_nodes":$n,"applied":[${appliedTokens.map("\"" + _ + "\"").mkString(",")}]}"""
+    val tmp = new Path(s"$dir/._committed.json.tmp")
+    val out = f.create(tmp, true)
+    out.write(json.getBytes(StandardCharsets.UTF_8))
+    out.close()
+    require(f.rename(tmp, linkStateMarker(dir)), s"link-state commit rename failed in $dir")
+  }
+
+  /** None when the directory holds no COMMITTED link state. The node
+    * count recorded at commit time is re-checked against the parquet
+    * footers (a metadata-only count) so a torn/tampered table fails
+    * loudly instead of silently merging against partial state.
+    */
+  def readLinkState(spark: SparkSession, dir: String): Option[LinkState] = {
+    val f = fs(spark, dir)
+    if (!f.exists(linkStateMarker(dir))) return None
+    // the dir is swapped IN PLACE by incremental runs; Spark's global
+    // FileStatusCache has no TTL, so a listing cached before the swap
+    // would resolve to deleted part files
+    spark.catalog.refreshByPath(s"$dir/nodes")
+    spark.catalog.refreshByPath(s"$dir/labels")
+    val in = f.open(linkStateMarker(dir))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val nRecorded = """"n_nodes":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+      .getOrElse(sys.error(s"malformed link-state marker in $dir: $json"))
+    val applied = """"applied":\[([^\]]*)\]""".r.findFirstMatchIn(json)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\"")))
+      .getOrElse(Nil)
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    require(nodes.count() == nRecorded,
+      s"link state in $dir holds ${nodes.count()} nodes but its marker recorded " +
+        s"$nRecorded — the table is torn; re-run the full KgJob to rebuild it")
+    Some(LinkState(nodes, spark.read.parquet(s"$dir/labels"), applied))
+  }
+
+  /** The layout a committed table was written with, read from one
+    * manifest: (n_buckets, configHash, day_partition). None when no
+    * manifest has been committed.
+    */
+  def readCommittedLayout(spark: SparkSession, outDir: String): Option[(Int, String, Boolean)] = {
+    val f = fs(spark, outDir)
+    val dir = new Path(s"$outDir/_manifests")
+    if (!f.exists(dir)) return None
+    val sample = f.listStatus(dir).toSeq
+      .map(_.getPath).find(p => p.getName.startsWith("bucket-") && p.getName.endsWith(".json"))
+    sample.map { p =>
+      val in = f.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val nb = """"n_buckets":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+        .getOrElse(sys.error(s"manifest $p lacks n_buckets — table predates the layout record"))
+      val cfg = """"config":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1)).getOrElse("v1")
+      val day = """"day_partition":(true|false)""".r.findFirstMatchIn(json)
+        .exists(_.group(1).toBoolean)
+      (nb, cfg, day)
+    }
+  }
+
   def writeEntities(entities: DataFrame, outDir: String): Unit =
     entities.write.mode(SaveMode.Overwrite)
       .partitionBy("entity_type")
