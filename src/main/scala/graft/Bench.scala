@@ -108,6 +108,14 @@ object Bench {
     // sjob.sec times only the job run, not the untimed staging.
     val sjob = graft.streaming.StreamJobScale.run(spark, sfDir)
 
+    // the INCREMENTAL production entry at bench scale: prior 99.9% of
+    // convs through the full KgJob (staging, reported separately), the
+    // held-out batch applied via KgIncrementalJob — gated fingerprint-
+    // identical to the cached flagship build (must run BEFORE Kg.evict)
+    // and required to leave most buckets untouched. The headline wall is
+    // the apply alone: the batch-proportional maintenance cost.
+    val incr = graft.pipeline.IncrScale.run(spark, sfDir)
+
     // second COLD flagship build: host CPU steal inflates any single
     // wall 2–6× (BENCH/BASELINE.md), and the flagship number is the
     // BASELINE.json headline — min-of-2 is the documented estimator
@@ -131,7 +139,8 @@ object Bench {
     // per-query file and the flagship_walls field
     val all = results.map(t => t._1 -> t._2) :+ ("kg_flagship_build" -> flagshipMin) :+
       ("kg_role_train_score" -> roleSec) :+ ("kg_scale_linking" -> scaleSec) :+
-      ("kg_stream_scale" -> streamSec) :+ ("kg_stream_job" -> sjob.sec)
+      ("kg_stream_scale" -> streamSec) :+ ("kg_stream_job" -> sjob.sec) :+
+      ("kg_incr_job" -> incr.applySec)
     val total = all.map(_._2).sum
 
     // full per-query table -> file artifact (every timing, 3 decimals);
@@ -145,6 +154,7 @@ object Bench {
     val scaleWalls = graft.pipeline.ScaleLinking.lastPhaseWalls
       .map { case (n, sec) => s"kg_scale_linking__$n" -> sec }
     val timingsJson = (all ++ run1Walls ++ scaleWalls :+
+        ("kg_incr_job__prior_full_job" -> incr.priorJobSec) :+
         ("kg_flagship_build_run1" -> flagshipSec) :+
         ("kg_flagship_build_run2" -> flagship2)).sortBy(-_._2)
       .map { case (k, v) => s"""  "$k": ${r3(v)}""" }
@@ -176,7 +186,9 @@ object Bench {
         s""""stream_state_after_expiry":${stream.stateAfterExpiry},""" +
         s""""stream_batches":${stream.batches},"stream_batch_ms_median":${stream.medianBatchMs},""" +
         s""""sjob_turns":${sjob.turns},"sjob_rows":${sjob.rows},""" +
-        s""""sjob_sec":${r3(sjob.sec)},"sjob_turns_per_sec":${r3(sjob.turns / sjob.sec)}}"""
+        s""""sjob_sec":${r3(sjob.sec)},"sjob_turns_per_sec":${r3(sjob.turns / sjob.sec)},""" +
+        s""""incr_batch_turns":${incr.batchTurns},"incr_rewritten":${incr.rewrittenBuckets},""" +
+        s""""incr_untouched":${incr.untouchedBuckets}}"""
     // the driver parses a bounded (~2 KB) stdout TAIL. The binding
     // invariant is that the LAST copy of the line (printed after
     // spark.stop(), followed only by sbt's ~70-char "[success]" trailer)
