@@ -137,6 +137,15 @@ object KgIncrementalJob {
     val incr = s"$output/_incr"
     val f = fsOf(spark, output)
     def exists(p: String) = f.exists(new Path(p))
+    // phase walls to stderr, mirroring KgJob: the apply's cost story at
+    // scale is "batch-proportional + fixed planning" — the walls make the
+    // split attributable (IncrScale reports the total as kg_incr_job)
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(f"[kgincr] $name: ${(now - tPhase) / 1e9}%.2f s")
+      tPhase = now
+    }
     def crashPoint(phase: String): Unit =
       if (failAfter.contains(phase))
         throw new RuntimeException(s"[test hook] injected crash after phase '$phase'")
@@ -178,7 +187,8 @@ object KgIncrementalJob {
         val newRaw = KgPipeline.tripleRows(KgPipeline.tagTurns(turns, model)).select(RAW.map(col): _*)
         val combined = spark.read.parquet(s"$incr/old_raw").select(RAW.map(col): _*)
           .unionByName(newRaw)
-        val (wm, nNewTriples) = writeTail(spark, f, output, combined, newRaw, canonNew,
+        val (wm, nNewTriples) = writeTail(spark, f, output,
+          KgPipeline.resolveTriples(combined, canonNew), newRaw,
           layout, buckets, crashPoint)
         val (nEntities, nEdges) = finishTail(spark, f, output)
         return IncrMetrics(nTurns, nNewTriples, -1L, wm.buckets, wm.skippedBuckets,
@@ -201,6 +211,7 @@ object KgIncrementalJob {
     val layout @ (nBuckets, cfg, dayPartition) =
       GraphSink.readCommittedLayout(spark, output).getOrElse(
         sys.error(s"$output has no committed manifests — not a completed KgJob output"))
+    phase("read_state")
 
     val model = spark.sparkContext.broadcast(NerTraining.load(spark, modelPath))
     val tagged = KgPipeline.tagTurns(turns, model).cache()
@@ -225,6 +236,7 @@ object KgIncrementalJob {
       .where($"old_id" =!= $"entity_id")
       .select($"norm", $"tag").cache()
     val nChanged = changed.count()
+    phase("tag_link_diff")
 
     // bucket set to rewrite: new convs' buckets + buckets holding a
     // changed surface (column-pruned scans; `changed` is merge-event
@@ -242,6 +254,7 @@ object KgIncrementalJob {
       .unionByName(bucketsTouching("obj", "obj_tag"))
       .unionByName(newBucketsDf)
       .distinct().as[Int].collect().toSeq.sorted
+    phase("bucket_select")
 
     // snapshot the affected buckets' rows BEFORE any mutation: the
     // rewrite and any resume read this copy, never the live table
@@ -256,14 +269,18 @@ object KgIncrementalJob {
     require(overlap == 0,
       s"$overlap conversation(s) of the new batch already exist in $output — incremental " +
         "batches must be conversation-disjoint from the corpus already applied")
+    phase("snapshot_guard")
 
-    // delta-merged edges, staged (reads prior edges BEFORE any mutation)
+    // delta-merged edges, staged (reads prior edges BEFORE any mutation).
+    // The combined rows' resolution feeds BOTH the added-edges term and
+    // the bucket rewrite — resolve once, cache (affected-bucket-sized)
     val combined = snapshot.unionByName(newRaw)
+    val resolvedCombined = KgPipeline.resolveTriples(combined, canonNew).cache()
     val oldE = spark.read.parquet(s"$output/edges")
       .select($"src", $"dst", $"pred", $"weight".as("w_old"))
     val removed = KgPipeline.edgesTable(KgPipeline.resolveTriples(snapshot, canonOld))
       .select($"src", $"dst", $"pred", $"weight".as("w_rm"))
-    val added = KgPipeline.edgesTable(KgPipeline.resolveTriples(combined, canonNew))
+    val added = KgPipeline.edgesTable(resolvedCombined)
       .select($"src", $"dst", $"pred", $"weight".as("w_add"))
     oldE.join(removed, Seq("src", "dst", "pred"), "full_outer")
       .join(added, Seq("src", "dst", "pred"), "full_outer")
@@ -273,6 +290,7 @@ object KgIncrementalJob {
       .where($"weight" > 0)
       .write.mode(SaveMode.Overwrite).partitionBy("pred").parquet(s"$incr/edges_new")
     writeMarker(f, s"$incr/edges_new.done.json", "{}")
+    phase("edges_delta")
 
     // commit the intent: token + bucket set + layout (the resume path
     // must not depend on re-reading manifests it is about to delete)
@@ -281,11 +299,13 @@ object KgIncrementalJob {
         s""""n_buckets":$nBuckets,"config":"$cfg","day_partition":$dayPartition}""")
     crashPoint("staged")
 
-    val (wm, nNewTriples) = writeTail(spark, f, output, combined, newRaw, canonNew,
+    val (wm, nNewTriples) = writeTail(spark, f, output, resolvedCombined, newRaw,
       layout, bucketsB, crashPoint)
-    tagged.unpersist(); changed.unpersist()
+    phase("rewrite_triples")
+    tagged.unpersist(); changed.unpersist(); resolvedCombined.unpersist()
     val (nEntities, nEdges) = finishTail(spark, f, output)
     canonNew.unpersist()
+    phase("tail_swap")
     IncrMetrics(nTurns, nNewTriples, nChanged, wm.buckets, wm.skippedBuckets,
       nEntities, nEdges)
   }
@@ -308,7 +328,7 @@ object KgIncrementalJob {
     * previous attempt already committed.
     */
   private def writeTail(spark: SparkSession, f: FileSystem, output: String,
-      combined: DataFrame, newRaw: DataFrame, canonNew: DataFrame,
+      resolved: DataFrame, newRaw: DataFrame,
       layout: (Int, String, Boolean), bucketsB: Seq[Int],
       crashPoint: String => Unit): (GraphSink.WriteMetrics, Long) = {
     val (nBuckets, cfg, dayPartition) = layout
@@ -316,7 +336,6 @@ object KgIncrementalJob {
     writeMarker(f, s"$incr/manifests_invalidated.json", "{}")
     deleteManifests(f, output, bucketsB)
     crashPoint("invalidated")
-    val resolved = KgPipeline.resolveTriples(combined, canonNew)
     val wm = GraphSink.writeTriples(spark, resolved, output, nBuckets, cfg, dayPartition)
     writeMarker(f, s"$incr/triples.done.json", "{}")
     crashPoint("triples")

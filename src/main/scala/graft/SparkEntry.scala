@@ -524,8 +524,12 @@ object SparkEntry {
     "kg_incr_entities" -> ((s, d) => {
       val b = Kg.built(s, d)
       val isNew = pmod(xxhash64(col("conv_id")), lit(4)) === 0
+      // alias-scale but referenced by the blocking self-join (2×), the
+      // CC collects, and incrementalLink's merge/anti-join — without the
+      // checkpoint each reference re-aggregates the 10^5..10^6-row
+      // mention stream (this query timed 41 s at sf0.1; ~3 s after)
       val priorNodes = graft.pipeline.KgPipeline.surfaceNodes(
-        b.out.mentions.where(!isNew))
+        b.out.mentions.where(!isNew)).localCheckpoint()
       val (priorEdges, _) = graft.pipeline.KgPipeline.candidateEdges(priorNodes)
       val priorLabels = graft.pipeline.KgPipeline.connectedComponents(priorNodes, priorEdges)
       val inc = graft.pipeline.KgPipeline.incrementalLink(

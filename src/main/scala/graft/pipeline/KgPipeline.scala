@@ -560,8 +560,13 @@ object KgPipeline {
       newMentions: DataFrame,
       maxBlock: Int = MAX_BLOCK_SIZE,
       ccCheckpointDir: Option[String] = None): IncrementalLink = {
-    val newNodes = surfaceNodes(newMentions)
-    val merged = mergeNodes(priorNodes, newNodes)
+    // both node tables are alias-scale but their lineage (explode +
+    // two-level groupBy over the mention stream) is re-executed by every
+    // downstream reference — merged alone feeds blockKeyed twice and the
+    // pair self-join twice. localCheckpoint materializes each ONCE and
+    // cuts the lineage (no exchange exists for Spark to reuse here)
+    val newNodes = surfaceNodes(newMentions).localCheckpoint()
+    val merged = mergeNodes(priorNodes, newNodes).localCheckpoint()
     // surfaces first seen in this batch. Left-anti on the prior ALIAS
     // table (not the corpus); the prior side is shuffled by node_id —
     // the same exchange mergeNodes already needs.

@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: run the bench-scale incremental maintenance stage alone and
+  * print its result (phase walls land on stderr via [kgincr]/[kgjob]).
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.IncrProbe
+  */
+object IncrProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = graft.pipeline.IncrScale.run(spark, sfDir)
+    println(f"[incrprobe] priorTurns=${r.priorTurns} batchTurns=${r.batchTurns} " +
+      f"priorJobSec=${r.priorJobSec}%.2f applySec=${r.applySec}%.2f " +
+      f"rewritten=${r.rewrittenBuckets} untouched=${r.untouchedBuckets} " +
+      f"changed=${r.changedSurfaces} triples=${r.triples}")
+    spark.stop()
+  }
+}
