@@ -239,19 +239,26 @@ object KgIncrementalJob {
     phase("tag_link_diff")
 
     // bucket set to rewrite: new convs' buckets + buckets holding a
-    // changed surface (column-pruned scans; `changed` is merge-event
-    // sized, broadcast into the semi-joins)
+    // changed surface. The changed-surface probe is the apply's ONLY
+    // corpus-proportional cost, so (a) it is SKIPPED outright in the
+    // common mature-graph case (no surface changed assignment), and
+    // (b) when it must run, both triple endpoints are checked in ONE
+    // column-pruned scan (exploded (norm, tag) pairs semi-joined against
+    // the broadcast merge-event-sized `changed` set), not one scan each
     val oldTriples = spark.read.parquet(s"$output/triples")
     import graft.functions.NativeFunctions.normalize_surface
-    def bucketsTouching(surfCol: String, tagCol: String): DataFrame =
-      oldTriples.withColumn("n", normalize_surface(col(surfCol)))
-        .withColumnRenamed(tagCol, "t")
-        .join(broadcast(changed.toDF("n", "t")), Seq("n", "t"), "left_semi")
-        .select($"conv_bucket".cast("int").as("conv_bucket"))
     val newBucketsDf = turns.toDF()
       .select(pmod(xxhash64($"conv_id"), lit(nBuckets)).cast("int").as("conv_bucket"))
-    val bucketsB = bucketsTouching("subj", "subj_tag")
-      .unionByName(bucketsTouching("obj", "obj_tag"))
+    val changedBuckets =
+      if (nChanged == 0) spark.emptyDataset[Int].toDF("conv_bucket")
+      else oldTriples
+        .select($"conv_bucket", explode(array(
+          struct(normalize_surface($"subj").as("n"), $"subj_tag".as("t")),
+          struct(normalize_surface($"obj").as("n"), $"obj_tag".as("t")))).as("e"))
+        .select($"conv_bucket".cast("int").as("conv_bucket"), $"e.n", $"e.t")
+        .join(broadcast(changed.toDF("n", "t")), Seq("n", "t"), "left_semi")
+        .select($"conv_bucket")
+    val bucketsB = changedBuckets
       .unionByName(newBucketsDf)
       .distinct().as[Int].collect().toSeq.sorted
     phase("bucket_select")
