@@ -4,10 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: run the bench-scale incremental maintenance stage alone and
   * print its result (phase walls land on stderr via [kgincr]/[kgjob]).
-  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.IncrProbe
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.IncrProbe [batchMod...]
+  * Passing several batchMod values (e.g. 1024 128 16) measures apply
+  * cost at several batch fractions against the same corpus — the
+  * batch-proportionality evidence (each run pays its own prior build).
   */
 object IncrProbe {
   def main(args: Array[String]): Unit = {
+    val mods = if (args.isEmpty) Seq(1024) else args.toSeq.map(_.toInt)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -19,11 +23,14 @@ object IncrProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = graft.pipeline.IncrScale.run(spark, sfDir)
-    println(f"[incrprobe] priorTurns=${r.priorTurns} batchTurns=${r.batchTurns} " +
-      f"priorJobSec=${r.priorJobSec}%.2f applySec=${r.applySec}%.2f " +
-      f"rewritten=${r.rewrittenBuckets} untouched=${r.untouchedBuckets} " +
-      f"changed=${r.changedSurfaces} triples=${r.triples}")
+    for (mod <- mods) {
+      val r = graft.pipeline.IncrScale.run(spark, sfDir, batchMod = mod,
+        requireMostlyUntouched = mod >= 256)
+      println(f"[incrprobe] batchMod=$mod priorTurns=${r.priorTurns} batchTurns=${r.batchTurns} " +
+        f"priorJobSec=${r.priorJobSec}%.2f applySec=${r.applySec}%.2f " +
+        f"rewritten=${r.rewrittenBuckets} untouched=${r.untouchedBuckets} " +
+        f"changed=${r.changedSurfaces} triples=${r.triples}")
+    }
     spark.stop()
   }
 }
