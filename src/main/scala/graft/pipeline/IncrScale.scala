@@ -89,4 +89,56 @@ object IncrScale {
       ()
     }
   }
+
+  /** Sequential multi-batch maintenance (the daily-batch production
+    * cadence): prior = corpus minus `nBatches` hash slices, then each
+    * slice applied IN SEQUENCE to the same output — the link state,
+    * applied-batch ledger, and bucket manifests chain across applies.
+    * Gate: after the last apply the graph is fingerprint-identical to
+    * the flagship full-corpus build. Returns (priorJobSec, applyWalls).
+    */
+  def runSequential(spark: SparkSession, sfDir: String,
+      nBatches: Int = 3): (Double, Seq[Double]) = {
+    import spark.implicits._
+    val b = graft.Kg.built(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("incr_seq_").toString
+    try {
+      val turns = b.labeled
+        .map(r => graft.corpus.Turn(r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts))
+      val slice = pmod(xxhash64(col("conv_id")), lit(BATCH_MOD))
+      turns.where(slice >= nBatches).write.parquet(s"$base/prior")
+      for (i <- 0 until nBatches)
+        turns.where(slice === i).write.parquet(s"$base/batch$i")
+      NerTraining.save(b.model, spark, s"$base/model")
+
+      val t0 = System.nanoTime()
+      graft.KgJob.run(spark, s"$base/prior", s"$base/model", s"$base/graph",
+        buckets = BUCKETS)
+      val priorJobSec = (System.nanoTime() - t0) / 1e9
+
+      val walls = (0 until nBatches).map { i =>
+        val t = System.nanoTime()
+        graft.KgIncrementalJob.run(spark, s"$base/graph", s"$base/batch$i",
+          s"$base/model")
+        (System.nanoTime() - t) / 1e9
+      }
+
+      val fpExpr = "bit_xor(xxhash64(conv_id, turn_idx, subj, pred, obj, " +
+        "subj_tag, obj_tag, subj_id, obj_id, subj_canonical, obj_canonical))"
+      def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), expr(fpExpr)).first()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      val got = fingerprint(spark.read.parquet(s"$base/graph/triples"))
+      val want = fingerprint(b.out.resolvedTriples)
+      require(got == want,
+        s"after $nBatches sequential applies the graph diverged from the full-corpus " +
+          s"build: (rows, fp) = $got vs flagship $want")
+      (priorJobSec, walls)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(base)).deleteRecursively()
+      ()
+    }
+  }
 }

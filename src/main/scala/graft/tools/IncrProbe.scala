@@ -11,7 +11,6 @@ import org.apache.spark.sql.SparkSession
   */
 object IncrProbe {
   def main(args: Array[String]): Unit = {
-    val mods = if (args.isEmpty) Seq(1024) else args.toSeq.map(_.toInt)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -23,6 +22,15 @@ object IncrProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("seq")) {
+      val n = if (args.length > 1) args(1).toInt else 3
+      val (priorSec, walls) = graft.pipeline.IncrScale.runSequential(spark, sfDir, n)
+      println(f"[incrprobe] seq priorJobSec=$priorSec%.2f applies=" +
+        walls.map(w => f"$w%.2f").mkString(","))
+      spark.stop()
+      return
+    }
+    val mods = if (args.isEmpty) Seq(1024) else args.toSeq.map(_.toInt)
     for (mod <- mods) {
       val r = graft.pipeline.IncrScale.run(spark, sfDir, batchMod = mod,
         requireMostlyUntouched = mod >= 256)
