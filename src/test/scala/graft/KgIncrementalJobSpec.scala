@@ -165,4 +165,20 @@ class KgIncrementalJobSpec extends AnyFunSuite {
     KgJob.run(spark, s"$dir/in_abc", model, want, buckets = 8)
     assertGraphsEqual(out, want, "A+B+C after kills vs full")
   }
+
+  test("apply order commutes: A+C+B equals A+B+C equals full") {
+    // Production batches can arrive out of order; conv-disjoint applies
+    // must converge to the same graph regardless. The canonical-map
+    // diff machinery makes this non-trivial: a later batch can flip a
+    // component's min-norm canonical chosen by an earlier one, and the
+    // changed-surface rewrite must repair every stale resolution.
+    val (dir, model) = staged
+    val out = s"$dir/g3"
+    KgJob.run(spark, s"$dir/in_a", model, out, buckets = 8)
+    KgIncrementalJob.run(spark, out, s"$dir/in_c", model)
+    KgIncrementalJob.run(spark, out, s"$dir/in_b", model)
+    val want = s"$dir/g3_full"
+    KgJob.run(spark, s"$dir/in_abc", model, want, buckets = 8)
+    assertGraphsEqual(out, want, "A then C then B vs full A+B+C")
+  }
 }
