@@ -49,10 +49,19 @@ object Bench {
     val nEntities = built.out.entities.count()
     val flagshipSec = (System.nanoTime() - t0) / 1e9
 
-    // role-classifier warm-up: train + score, timed as its own stage
+    // role-classifier warm-up: train + score, timed as its own stage.
+    // Min-of-2 like the flagship: the stage is cheap (~2 s warm) but a
+    // min-of-1 wall sat in the steal-noise class the driver artifact
+    // keeps tripping on; the re-run evicts ONLY the role caches so both
+    // walls time identical work over the same warm corpus caches (and
+    // the re-run repopulates the cache for the per-query pass).
     val tR = System.nanoTime()
     Kg.roleScored(spark, sfDir).count()
-    val roleSec = (System.nanoTime() - tR) / 1e9
+    val roleSec1 = (System.nanoTime() - tR) / 1e9
+    Kg.evictRole(sfDir)
+    val tR2 = System.nanoTime()
+    Kg.roleScored(spark, sfDir).count()
+    val roleSec = math.min(roleSec1, (System.nanoTime() - tR2) / 1e9)
 
     // per-query pass. Failures are RECORDED, not swallowed (VERDICT r4
     // "what's wrong" #2): a query that starts crashing must surface as

@@ -65,6 +65,17 @@ object Kg {
   private val roleCache = TrieMap.empty[String, DataFrame]
   private val roleModelCache = TrieMap.empty[String, graft.semantics.DictModel]
 
+  /** Drop only the role train+score caches (the corpus/tagged caches
+    * stay warm) so Bench can re-time the role stage against identical
+    * inputs — a plain second roleScored call would read the memoized
+    * result and time a cache scan instead of the stage.
+    */
+  def evictRole(sfDir: String): Unit = {
+    roleCache.remove(sfDir).foreach(_.unpersist(blocking = true))
+    roleModelCache.remove(sfDir)
+    ()
+  }
+
   /** The trained role model, cached per sfDir — shared by roleScored and
     * the kg_role_model/kg_role_priors oracle dumps.
     */
