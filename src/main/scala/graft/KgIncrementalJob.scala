@@ -118,8 +118,12 @@ object KgIncrementalJob {
     * exactly-once ledger.
     */
   private def batchToken(turns: DataFrame): (Long, String) = {
+    // every tagging-relevant Turn field participates (ADVICE r5): two
+    // batches differing only in ts/role/tool must not collide — a
+    // collision wrongly refuses the second as already-applied, and the
+    // mid-write resume check could miss drifted input
     val r = turns.agg(count(lit(1)).as("n"),
-      expr("bit_xor(xxhash64(conv_id, turn_idx, text))").as("fp")).first()
+      expr("bit_xor(xxhash64(conv_id, turn_idx, role, text, tool, ts))").as("fp")).first()
     val n = r.getLong(0)
     require(n > 0, "empty input batch — nothing to apply")
     (n, f"b$n%d-${r.getLong(1)}%016x")

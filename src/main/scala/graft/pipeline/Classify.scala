@@ -44,7 +44,11 @@ object ClassifyStage {
       .select(col("term"), col("cat"), col("n"))
       .as[(String, String, Long)].collect()
     tc.unpersist()
-    val docCounts = turns.groupByKey(_.role).count().collect()
+    // relational groupBy, not groupByKey(_.role): the typed path
+    // deserializes every Turn into an object just to read one column —
+    // the columnar agg reads `role` off the cached rows directly
+    val docCounts = turns.toDF().groupBy(col("role")).agg(count(lit(1)))
+      .as[(String, Long)].collect()
     val dict = kept.groupBy(_._1).map { case (term, xs) =>
       term -> xs.map { case (_, cat, n) => cat -> n.toInt }.toMap
     }

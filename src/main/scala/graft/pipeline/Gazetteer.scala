@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.corpus.TranscriptGen
-import graft.semantics.{Linker, Similarity, StringOps}
+import graft.semantics.{Linker, StringOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -28,31 +28,66 @@ object Gazetteer {
     rows.toDF("alias", "alias_norm", "block_key", "entity_id", "entity_type", "popularity")
   }
 
-  private val simUdf = udf((a: String, b: String) => Similarity.ngramSim(a, b))
   private val keyUdf = udf((norm: String) => Linker.blockKeys(norm).headOption.orNull)
+
+  /** Distinct character-trigram set as a column (the Similarity.ngramSim
+    * operand, precomputed). Delegates to the native codegen'd
+    * CharTrigramsExpr — identical grams to NGrams.charNGrams(s, 3, 3)
+    * (ExpressionsSpec pins the equality); array_distinct turns the gram
+    * stream into the SET ngramSim's Jaccard operates on, and the
+    * coalesce maps the expression's NULL (< 3 chars) to the empty set,
+    * exactly charNGrams' behavior on short strings.
+    *
+    * Why precompute (r6, guide §2.3/§4): the candidate join multiplies
+    * each side's rows (a hot block key fans one alias out to thousands
+    * of surfaces), and the old per-candidate `simUdf(norm, alias_norm)`
+    * re-extracted + re-hashed both trigram sets per CANDIDATE PAIR —
+    * ~5M UDF calls for ~1M side rows in the bench-scale exercise.
+    * Computing each side's set once before the join leaves only cheap
+    * native set arithmetic on the pair stream.
+    */
+  private def trigramSet(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_distinct(coalesce(graft.functions.NativeFunctions.char_trigrams(c),
+      typedLit(Array.empty[String])))
 
   /** Candidate scoring (string similarity + type agreement + popularity
     * prior) and the per-surface argmax — shared verbatim by the
     * broadcast and the salted path so both produce identical winners.
+    * Expects the precomputed trigram-set columns `gn` (surface norm) and
+    * `ga` (alias norm) on the candidate rows.
     */
   private def bestPerSurface(cands: DataFrame): DataFrame = {
+    // Jaccard over the precomputed sets: |∩| / (|a| + |b| - |∩|), with
+    // the both-empty case = 1.0 — exactly Similarity.jaccard. The
+    // division is the same IEEE double op on the same exact ints, so
+    // scores are bit-identical to the old UDF (oracle-pinned).
+    val inter = size(array_intersect(col("gn"), col("ga")))
     val scored = cands
-      .withColumn("sim", simUdf(col("norm"), col("alias_norm")))
+      .withColumn("sim",
+        when(size(col("gn")) === 0 && size(col("ga")) === 0, lit(1.0))
+          .otherwise(inter.cast("double") /
+            (size(col("gn")) + size(col("ga")) - inter).cast("double")))
       .where(col("sim") >= 0.3) // residual theta predicate after equi-join
       .withColumn("score",
         round(col("sim") * 0.6 +
           when(col("tag") === col("entity_type"), 0.3).otherwise(0.0) +
           col("popularity") * 0.1, 6))
-    import org.apache.spark.sql.expressions.Window
-    // alias in the ordering makes the argmax a TOTAL order: two aliases
-    // of the same entity can tie on (score, entity_id), and row_number
-    // over a partial order is nondeterministic (caught by the r2
-    // cross-engine oracle — DuckDB picked the other alias)
-    val w = Window.partitionBy(col("norm"), col("tag"))
-      .orderBy(col("score").desc, col("entity_id"), col("alias"))
-    scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("norm"), col("tag"), col("entity_id"), col("alias"), col("score"))
+    // argmax via min(struct(-score, entity_id, alias)): lexicographic
+    // struct ordering == the old row_number total order (score DESC,
+    // entity_id, alias — the alias key makes it total: two aliases of
+    // the same entity can tie on (score, entity_id), caught by the r2
+    // cross-engine oracle). A hash aggregate with map-side partial
+    // aggregation replaces the full sort window — the scored pair
+    // stream (hot blocks make it many× the surface count) collapses to
+    // one row per surface per map task BEFORE the exchange instead of
+    // being shuffled and sorted wholesale (guide §2.3). score > 0
+    // always (sim ≥ 0.3 ⇒ score ≥ 0.18), so -score has no -0.0 edge.
+    scored
+      .groupBy(col("norm"), col("tag"))
+      .agg(min(struct((-col("score")).as("ns"), col("entity_id"),
+        col("alias"), col("score"))).as("w"))
+      .select(col("norm"), col("tag"), col("w.entity_id").as("entity_id"),
+        col("w.alias").as("alias"), col("w.score").as("score"))
   }
 
   /** Gazetteers up to this many alias rows broadcast; above it the salted
@@ -85,7 +120,12 @@ object Gazetteer {
       gazRows: Option[Long] = None,
       maxBroadcastBytes: Long = GAZ_BROADCAST_MAX_BYTES): DataFrame = {
     val estBytes = gazetteer.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (estBytes > BigInt(maxBroadcastBytes))
+    // plans without real statistics (e.g. RDD-backed relations) report
+    // spark.sql.defaultSizeInBytes (Long.MaxValue) — treat that sentinel
+    // as "unknown" and fall through to the row-count dispatch instead of
+    // forcing a tiny gazetteer onto the salted path (ADVICE r5)
+    val bytesKnown = estBytes < BigInt(Long.MaxValue)
+    if (bytesKnown && estBytes > BigInt(maxBroadcastBytes))
       disambiguateSalted(mentions, gazetteer)
     else if (gazRows.getOrElse(gazetteer.count()) <= GAZ_BROADCAST_THRESHOLD)
       disambiguateBroadcast(mentions, gazetteer)
@@ -103,9 +143,13 @@ object Gazetteer {
     */
   def disambiguateBroadcast(mentions: DataFrame, gazetteer: DataFrame): DataFrame = {
     val distinctSurfaces = mentions.select(col("norm"), col("tag")).distinct()
+    // trigram sets precomputed per SIDE (once per distinct surface /
+    // alias), not per candidate pair — see trigramSet
     val cands = distinctSurfaces
       .withColumn("block_key", keyUdf(col("norm")))
-      .join(broadcast(gazetteer), Seq("block_key"), "inner")
+      .withColumn("gn", trigramSet(col("norm")))
+      .join(broadcast(gazetteer.withColumn("ga", trigramSet(col("alias_norm")))),
+        Seq("block_key"), "inner")
     val best = bestPerSurface(cands)
     mentions.join(broadcast(best), Seq("norm", "tag"), "inner")
       .select(col("conv_id"), col("turn_idx"), col("start"), col("end"),
@@ -129,10 +173,14 @@ object Gazetteer {
   def disambiguateSalted(mentions: DataFrame, gazetteer: DataFrame,
       salt: Int = GAZ_SALT): DataFrame = {
     val saltValues = sequence(lit(0), lit(salt - 1))
+    // trigram set computed BEFORE the ×salt explode: one extraction per
+    // distinct surface, replicated by reference into the salt copies
     val distinctSurfaces = mentions.select(col("norm"), col("tag")).distinct()
       .withColumn("block_key", keyUdf(col("norm")))
+      .withColumn("gn", trigramSet(col("norm")))
       .withColumn("salt", explode(saltValues))
     val gazSalted = gazetteer
+      .withColumn("ga", trigramSet(col("alias_norm")))
       .withColumn("salt", pmod(xxhash64(col("alias")), lit(salt)).cast("int"))
     val cands = distinctSurfaces.join(gazSalted, Seq("block_key", "salt"), "inner")
     val best = bestPerSurface(cands)

@@ -100,14 +100,17 @@ object GraphSink {
     // the manifest. Deleting every UNCOMMITTED bucket directory up front
     // restores the flat layout's whole-bucket-replace guarantee — the
     // committed (manifested) buckets are exactly the ones kept.
-    if (done.nonEmpty) {
-      val triplesDir0 = new Path(s"$outDir/triples")
-      if (f.exists(triplesDir0)) {
-        for (st <- f.listStatus(triplesDir0)
-             if st.isDirectory && st.getPath.getName.startsWith("conv_bucket=")) {
-          val bucket = st.getPath.getName.stripPrefix("conv_bucket=").toInt
-          if (!done.contains(bucket)) f.delete(st.getPath, true)
-        }
+    // runs whenever the triples dir exists, NOT only when manifests do
+    // (ADVICE r5): a crashed day-partitioned run that committed ZERO
+    // bucket manifests leaves every bucket dir uncommitted — a resume
+    // with drifted input would otherwise keep pre-drift day dirs inside
+    // rewritten buckets and the read-back fingerprint would bless them
+    val triplesDir0 = new Path(s"$outDir/triples")
+    if (f.exists(triplesDir0)) {
+      for (st <- f.listStatus(triplesDir0)
+           if st.isDirectory && st.getPath.getName.startsWith("conv_bucket=")) {
+        val bucket = st.getPath.getName.stripPrefix("conv_bucket=").toInt
+        if (!done.contains(bucket)) f.delete(st.getPath, true)
       }
     }
     val all = bucketed(resolvedTriples, nBuckets)
@@ -139,10 +142,16 @@ object GraphSink {
     // near-midnight rows into different day dirs — dynamic overwrite
     // would then leave the stale day dir alive inside a "replaced"
     // bucket and the manifest would bless duplicated rows.
+    // repartition by the FULL partition tuple (r6): under the day layout
+    // a bucket-only repartition made one task write all ~30 of its
+    // bucket's day directories sequentially — write parallelism capped
+    // at the bucket count. Partitioning by (bucket, day) spreads the
+    // leaf directories across the executor pool; file count per leaf is
+    // one either way.
     val (toWrite, partCols) =
       if (dayPartition) (observed.withColumn("day", utcDay(col("ts"))), Seq("conv_bucket", "day"))
       else (observed, Seq("conv_bucket"))
-    toWrite.repartition(col("conv_bucket")).write
+    toWrite.repartition(partCols.map(col): _*).write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*)
@@ -320,13 +329,20 @@ object GraphSink {
     }
   }
 
+  /** Both dimension-table writes repartition by their partition column
+    * first (r6, guide §6): without it every task writes a fragment into
+    * every partition directory — ~(tasks × preds) tiny files for the
+    * edges table — paying file-open and commit-rename overhead per
+    * fragment and leaving a small-files layout for readers. One
+    * partition value per task ⇒ one file per directory.
+    */
   def writeEntities(entities: DataFrame, outDir: String): Unit =
-    entities.write.mode(SaveMode.Overwrite)
+    entities.repartition(col("entity_type")).write.mode(SaveMode.Overwrite)
       .partitionBy("entity_type")
       .parquet(s"$outDir/entities")
 
   def writeEdges(edges: DataFrame, outDir: String): Unit =
-    edges.write.mode(SaveMode.Overwrite)
+    edges.repartition(col("pred")).write.mode(SaveMode.Overwrite)
       .partitionBy("pred")
       .parquet(s"$outDir/edges")
 

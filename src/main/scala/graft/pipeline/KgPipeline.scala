@@ -212,6 +212,18 @@ object KgPipeline {
     (stepped.select($"node_id", $"component"), changed)
   }
 
+  /** Symmetrized edge set, localCheckpoint'ed once for the whole loop.
+    *
+    * r6 note (measured, not assumed): pre-partitioning this by `src`
+    * before the checkpoint was tried and REVERTED — in Spark 4.1 a
+    * localCheckpoint'ed Dataset reports UnknownPartitioning(0) under
+    * AQE (verified via executedPlan.outputPartitioning), so the extra
+    * repartition is a pure added shuffle with no downstream exchange
+    * elision. The executed iteration plan is already lean: the
+    * sym⋈labels join broadcasts the label frontier (LogicalRDD carries
+    * real size stats), so sym is never shuffled; per iteration only the
+    * neighbor-min groupBy and the 450k-row label frontier exchange.
+    */
   private def symmetrized(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -220,11 +232,17 @@ object KgPipeline {
       .localCheckpoint()
   }
 
+  private def initialLabels(nodes: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    nodes.select($"node_id", $"node_id".as("component")).localCheckpoint()
+  }
+
   def connectedComponentsLoop(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val sym = symmetrized(edges)
-    var labels = nodes.select($"node_id", $"node_id".as("component")).localCheckpoint()
+    var labels = initialLabels(nodes)
     var iter = 0
     var converged = false
     while (!converged && iter < CC_MAX_ITERS) {
@@ -347,8 +365,7 @@ object KgPipeline {
       case Some(m) =>
         System.err.println(s"[kg] durable CC: resuming from committed iteration ${m.iter}")
         spark.read.parquet(s"$checkpointDir/iter-${m.iter}").localCheckpoint()
-      case None =>
-        nodes.select($"node_id", $"node_id".as("component")).localCheckpoint()
+      case None => initialLabels(nodes)
     }
     var iter = lastResumedFrom
     var converged = false

@@ -377,8 +377,14 @@ object CatalogText {
       val train = grams.where(col("doc_id") % 2 === 0)
       val test = grams.where(col("doc_id") % 2 === 1)
         .groupBy(col("doc_id"), col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
+      // localCheckpoint: the model agg's lineage (a hash agg over the
+      // full gram stream) feeds THREE consumers — the vocab-size count,
+      // the per-language totals, and the scored join — and re-executed
+      // per consumer without it (r6; same rationale as the grams
+      // checkpoint above). The table itself is vocab × langs — tiny.
       val model = train.groupBy(col("g").as("m_g"), col("lang").as("mm_lang"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val tot = model.groupBy(col("mm_lang").as("tt_lang")).agg(sum(col("n")).as("tot"))
       val v = model.select(col("m_g")).distinct().count().toDouble
       val trainDocs = docs(s, d).where(col("doc_id") % 2 === 0)
@@ -386,7 +392,13 @@ object CatalogText {
       val trainN = docs(s, d).where(col("doc_id") % 2 === 0).count().toDouble
       val scored = test
         .crossJoin(broadcast(trainDocs)) // score every test doc against every lang
-        .join(model, col("g") === col("m_g") && col("m_lang") === col("mm_lang"), "left")
+        // model is (vocab × langs) count rows — dimension-table-sized at
+        // any corpus scale (the vocab is capped by the trigram alphabet),
+        // while the probe side is the per-doc gram stream replicated per
+        // language. Broadcasting the model removes the only shuffle of
+        // that wide stream (guide §3.1); without the hint the planner
+        // sort-merge-joined it (model's post-agg size estimate too fuzzy)
+        .join(broadcast(model), col("g") === col("m_g") && col("m_lang") === col("mm_lang"), "left")
         .withColumn("n_s", coalesce(col("n"), lit(0L)))
         .join(broadcast(tot), col("m_lang") === col("tt_lang"))
         .withColumn("term_ll", col("cnt") * log((col("n_s") + 1.0) / (col("tot") + lit(v))))

@@ -496,14 +496,22 @@ object StreamingIngest {
     val manifest = new org.apache.hadoop.fs.Path(
       s"$outDir/_manifests/$manifestPrefix-$batchId.json")
     if (hfs.exists(manifest)) return // already committed — replay is a no-op
-    val stats = batch
-      .agg(count(lit(1)).as("rows"),
-        expr("bit_xor(xxhash64(conv_id, turn_idx, subj, pred, obj))").as("fp"))
-      .collect()(0)
-    batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    // manifest stats observed ON the write pass (r6, guide §1/§5): the
+    // former separate stats agg executed the batch's ENTIRE lineage a
+    // second time — for the resolved sink that is the NLP tagging +
+    // resolve join run twice per micro-batch. Observation rides the
+    // write job's single execution (same pattern as GraphSink's
+    // written-buckets metrics); rows/fingerprint values are unchanged.
+    val obs = org.apache.spark.sql.Observation(
+      s"stream_write_${batchId}_${System.nanoTime()}")
+    val observed = batch.observe(obs,
+      count(lit(1)).as("rows"),
+      expr("bit_xor(xxhash64(conv_id, turn_idx, subj, pred, obj))").as("fp"))
+    observed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$outDir/$table/batch=$batchId")
-    val json = s"""{"batch":$batchId,"rows":${stats.getLong(0)},"fingerprint":${
-      if (stats.isNullAt(1)) 0L else stats.getLong(1)}$extraManifest}"""
+    val rows = scala.util.Try(obs.get("rows").asInstanceOf[Long]).getOrElse(0L)
+    val fp = scala.util.Try(obs.get("fp").asInstanceOf[Long]).getOrElse(0L)
+    val json = s"""{"batch":$batchId,"rows":$rows,"fingerprint":$fp$extraManifest}"""
     hfs.mkdirs(manifest.getParent)
     val tmp = new org.apache.hadoop.fs.Path(
       s"$outDir/_manifests/.$manifestPrefix-$batchId.json.tmp")

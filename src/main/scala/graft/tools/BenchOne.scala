@@ -20,6 +20,8 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.eventLog.enabled", sys.env.getOrElse("BENCH_EVENTLOG", "false"))
+      .config("spark.eventLog.dir", sys.env.getOrElse("BENCH_EVENTLOG_DIR", "/tmp/bench_events"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val walls = scala.collection.mutable.Map.empty[String, List[Double]]
