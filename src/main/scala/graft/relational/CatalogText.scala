@@ -359,21 +359,24 @@ object CatalogText {
     // classifier accuracy on a corpus with actual per-language character
     // distributions, where it beats the stopword heuristic.)
     "t_lang_ngram" -> ((s, d) => {
-      // localCheckpoint the exploded trigram stream: this lineage feeds
-      // FOUR consumers (model agg, vocab-size count, test agg, and the
-      // scored join) — without materialization the explode pass
-      // re-executes per consumer (VERDICT r2 next-round #7). Grams come
-      // from the native codegen'd CharTrigramsExpr (one pass, identical
-      // strings to the interpreted transform/substring idiom —
-      // ExpressionsSpec pins equality). No guard needed: the expression
-      // is NULL under 3 chars and Generate emits zero rows for a null
-      // array — exactly the rows length(text) >= 3 removed. (An
-      // isNotNull filter here would be pushed through the projection by
-      // substitution and evaluate the expression twice per row.)
+      // r6 restructure: the MODEL aggregation is localCheckpoint'ed (it
+      // is vocab×langs-sized and feeds three consumers — vocab count,
+      // per-language totals, scored join), which leaves the exploded
+      // trigram stream with only TWO consumers (model agg, test agg) —
+      // cheaper to recompute twice fused into each agg than to
+      // materialize ~10⁶ 3-char rows (the r3-era grams checkpoint
+      // predates the model checkpoint and measured slower: 4.7 vs
+      // 3.3 s at sf0.1). Grams come from the native codegen'd
+      // CharTrigramsExpr (one pass, identical strings to the
+      // interpreted transform/substring idiom — ExpressionsSpec pins
+      // equality). No guard needed: the expression is NULL under 3
+      // chars and Generate emits zero rows for a null array — exactly
+      // the rows length(text) >= 3 removed. (An isNotNull filter here
+      // would be pushed through the projection by substitution and
+      // evaluate the expression twice per row.)
       val grams = docs(s, d)
         .select(col("doc_id"), col("lang"),
           explode(graft.functions.NativeFunctions.char_trigrams(col("text"))).as("g"))
-        .localCheckpoint()
       val train = grams.where(col("doc_id") % 2 === 0)
       val test = grams.where(col("doc_id") % 2 === 1)
         .groupBy(col("doc_id"), col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
