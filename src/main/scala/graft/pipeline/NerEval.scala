@@ -19,7 +19,12 @@ object NerEval {
       col("start").as("p_start"), col("end").as("p_end"), col("tag").as("p_tag"))
     val g = gold.select(col("conv_id"), col("turn_idx"),
       col("start").as("g_start"), col("end").as("g_end"), col("tag").as("g_tag"))
-    // interval-overlap join within the same turn (range-join shape)
+    // interval-overlap join within the same turn (range-join shape).
+    // localCheckpoint (r6): this subtree feeds THREE consumers below
+    // (the class projection, matchedPred, matchedGold) and re-executed
+    // per reference inside the one final plan; the overlap table is
+    // eval-split-sized, so materializing it once is strictly cheaper
+    // than three span joins.
     val overlap = p.join(g, Seq("conv_id", "turn_idx"))
       .where(col("p_start") < col("g_end") && col("g_start") < col("p_end"))
       .withColumn("cls",
@@ -27,6 +32,7 @@ object NerEval {
           col("p_tag") === col("g_tag"), "correct")
           .when(col("p_start") === col("g_start") && col("p_end") === col("g_end"), "wrong_type")
           .otherwise("wrong_boundary"))
+      .localCheckpoint()
     val matchedPred = overlap.select(col("conv_id"), col("turn_idx"),
       col("p_start").as("start"), col("p_end").as("end")).distinct()
     val matchedGold = overlap.select(col("conv_id"), col("turn_idx"),
