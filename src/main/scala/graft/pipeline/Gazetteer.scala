@@ -50,6 +50,16 @@ object Gazetteer {
     array_distinct(coalesce(graft.functions.NativeFunctions.char_trigrams(c),
       typedLit(Array.empty[String])))
 
+  /** Gazetteer side projected to exactly what scoring consumes, with
+    * the trigram set replacing `alias_norm` (guide §2.3: the table
+    * crosses a broadcast or an exchange — don't ship columns the
+    * candidate join never reads).
+    */
+  private def gazScoring(gazetteer: DataFrame): DataFrame =
+    gazetteer.select(col("block_key"), col("alias"), col("entity_id"),
+      col("entity_type"), col("popularity"),
+      trigramSet(col("alias_norm")).as("ga"))
+
   /** Candidate scoring (string similarity + type agreement + popularity
     * prior) and the per-surface argmax — shared verbatim by the
     * broadcast and the salted path so both produce identical winners.
@@ -148,8 +158,7 @@ object Gazetteer {
     val cands = distinctSurfaces
       .withColumn("block_key", keyUdf(col("norm")))
       .withColumn("gn", trigramSet(col("norm")))
-      .join(broadcast(gazetteer.withColumn("ga", trigramSet(col("alias_norm")))),
-        Seq("block_key"), "inner")
+      .join(broadcast(gazScoring(gazetteer)), Seq("block_key"), "inner")
     val best = bestPerSurface(cands)
     mentions.join(broadcast(best), Seq("norm", "tag"), "inner")
       .select(col("conv_id"), col("turn_idx"), col("start"), col("end"),
@@ -179,8 +188,7 @@ object Gazetteer {
       .withColumn("block_key", keyUdf(col("norm")))
       .withColumn("gn", trigramSet(col("norm")))
       .withColumn("salt", explode(saltValues))
-    val gazSalted = gazetteer
-      .withColumn("ga", trigramSet(col("alias_norm")))
+    val gazSalted = gazScoring(gazetteer)
       .withColumn("salt", pmod(xxhash64(col("alias")), lit(salt)).cast("int"))
     val cands = distinctSurfaces.join(gazSalted, Seq("block_key", "salt"), "inner")
     val best = bestPerSurface(cands)
